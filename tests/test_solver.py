@@ -1,0 +1,89 @@
+"""Full solver vs the NumPy scatter oracle, small synthetic problems."""
+
+import numpy as np
+import pytest
+
+from jpeg2png_tpu.models.solver import solve_joint, solve_separate
+
+import oracle
+
+
+def synth_channels(rng, layout):
+    """layout: list of (nby, nbx, sy, sx)."""
+    datas, quants, samps = [], [], []
+    for nby, nbx, sy, sx in layout:
+        datas.append(rng.integers(-25, 25, (nby, nbx, 8, 8)).astype(np.int16))
+        quants.append(rng.integers(1, 80, (8, 8)).astype(np.uint16))
+        samps.append((sy, sx))
+    return datas, quants, samps
+
+
+@pytest.mark.parametrize("layout,weight,pweights", [
+    # single channel, no subsampling, all terms
+    ([(2, 3, 1, 1)], 0.3, [0.001]),
+    # TV only
+    ([(2, 2, 1, 1)], 0.0, [0.0]),
+    # 3 channels 4:2:0-style
+    ([(4, 4, 1, 1), (2, 2, 2, 2), (2, 2, 2, 2)], 0.3, [0.001] * 3),
+    # ragged canvas: luma region smaller than chroma region
+    ([(2, 3, 1, 1), (1, 2, 2, 2), (1, 2, 2, 2)], 0.3, [0.001] * 3),
+])
+def test_solver_matches_oracle(layout, weight, pweights):
+    rng = np.random.default_rng(11)
+    datas, quants, samps = synth_channels(rng, layout)
+    iters = 4
+
+    fdata, metrics = solve_joint(datas, quants, samps, weight, pweights, iters)
+    fdata_o, metrics_o = oracle.solve(
+        [d.astype(np.float64) for d in datas],
+        [q.astype(np.float64) for q in quants],
+        samps, weight, pweights, iters,
+    )
+    np.testing.assert_allclose(np.asarray(fdata), fdata_o, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(metrics), metrics_o, rtol=2e-4,
+                               atol=1e-3)
+
+
+def test_iteration0_prob_dist_is_zero():
+    # cos is seeded with data*quant, so the prob term vanishes at i=0
+    # (compute.c:279-286); reference CSVs show prob_dist=0 on row 0.
+    rng = np.random.default_rng(12)
+    datas, quants, samps = synth_channels(rng, [(2, 2, 1, 1)])
+    _, metrics = solve_joint(datas, quants, samps, 0.3, [0.001], 2)
+    m = np.asarray(metrics)
+    assert m[0, 1] == 0.0
+    assert m[1, 1] > 0.0
+
+
+def test_separate_mode_matches_per_channel_joint():
+    rng = np.random.default_rng(13)
+    datas, quants, samps = synth_channels(
+        rng, [(2, 2, 1, 1), (1, 1, 2, 2), (1, 1, 2, 2)]
+    )
+    res = solve_separate(
+        datas, quants, samps,
+        weights=[0.3, 0.0, 0.0], pweights=[0.001] * 3,
+        iterations_per_channel=[3, 2, 2],
+    )
+    for c in range(3):
+        fd, met = res[c]
+        fd_j, met_j = solve_joint(
+            [datas[c]], [quants[c]], [samps[c]],
+            [0.3, 0.0, 0.0][c], [0.001], [3, 2, 2][c],
+        )
+        np.testing.assert_array_equal(np.asarray(fd), np.asarray(fd_j))
+        np.testing.assert_array_equal(np.asarray(met), np.asarray(met_j))
+
+
+def test_result_stays_feasible():
+    # after the final projection the DCT of the result must quantize back
+    # to the original coefficients — the defining property of the method
+    from jpeg2png_tpu.ops.blocks import blockify
+    from jpeg2png_tpu.ops.dct import dct8x8
+
+    rng = np.random.default_rng(14)
+    datas, quants, samps = synth_channels(rng, [(3, 3, 1, 1)])
+    fdata, _ = solve_joint(datas, quants, samps, 0.3, [0.001], 5)
+    coefs = np.asarray(dct8x8(blockify(np.asarray(fdata)[0])))
+    requant = np.round(coefs / quants[0].astype(np.float32)).astype(np.int16)
+    np.testing.assert_array_equal(requant, datas[0])
