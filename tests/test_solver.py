@@ -76,8 +76,11 @@ def test_separate_mode_matches_per_channel_joint():
 
 
 def test_result_stays_feasible():
-    # after the final projection the DCT of the result must quantize back
-    # to the original coefficients — the defining property of the method
+    # after the final projection the DCT of the result must lie inside the
+    # quantization box [(k-0.5)q, (k+0.5)q] — the defining property of the
+    # method.  The optimum sits ON the box boundary for many coefficients,
+    # where re-rounding is a float tie, so feasibility is asserted with an
+    # epsilon rather than via exact re-quantization.
     from jpeg2png_tpu.ops.blocks import blockify
     from jpeg2png_tpu.ops.dct import dct8x8
 
@@ -85,5 +88,8 @@ def test_result_stays_feasible():
     datas, quants, samps = synth_channels(rng, [(3, 3, 1, 1)])
     fdata, _ = solve_joint(datas, quants, samps, 0.3, [0.001], 5)
     coefs = np.asarray(dct8x8(blockify(np.asarray(fdata)[0])))
-    requant = np.round(coefs / quants[0].astype(np.float32)).astype(np.int16)
-    np.testing.assert_array_equal(requant, datas[0])
+    q = quants[0].astype(np.float32)
+    lo = (datas[0] - 0.5) * q
+    hi = (datas[0] + 0.5) * q
+    viol = np.maximum(lo - coefs, coefs - hi) / q  # in quant-step units
+    assert viol.max() < 1e-4, viol.max()
