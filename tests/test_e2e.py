@@ -1,0 +1,157 @@
+"""End-to-end golden tests against the reference binary's outputs.
+
+tests/fixtures/golden/ holds PNGs and per-iteration CSV logs produced
+by the reference C binary (built from /root/reference) at known flag
+settings.  Equivalence is PSNR/metric-based, never bitwise — the
+reference pins x86 FP semantics we cannot and should not replicate
+(SURVEY.md §2 determinism note).
+"""
+
+import csv
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpeg2png_tpu.io import read_jpeg
+from jpeg2png_tpu.pipeline import plain_decode, smooth_decode
+from jpeg2png_tpu.utils.config import SolverConfig
+
+
+def load_golden_csv(path):
+    """-> dict channel -> [iters, 4] (objective, prob_dist, tv, tv2)."""
+    rows = {}
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            c = int(row["channel"])
+            rows.setdefault(c, []).append([
+                float(row["objective"]), float(row["prob_dist"]),
+                float(row["tv"]), float(row["tv2"]),
+            ])
+    return {c: np.array(v) for c, v in rows.items()}
+
+
+def psnr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = ((a - b) ** 2).mean()
+    return np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def assert_metrics_close(ours, golden, rtol=2e-3):
+    assert ours.shape == golden.shape
+    # relative comparison column-wise; prob_dist starts at exactly 0
+    np.testing.assert_allclose(ours[:, 0], golden[:, 0], rtol=rtol)
+    np.testing.assert_allclose(ours[:, 2], golden[:, 2], rtol=rtol)
+    np.testing.assert_allclose(ours[:, 3], golden[:, 3], rtol=rtol, atol=1e-3)
+    np.testing.assert_allclose(ours[:, 1], golden[:, 1], rtol=5e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("name", [
+    "lineart64_q20_420",        # 4:2:0, the bread-and-butter case
+    "lineart64_q50_444",        # 4:4:4 (no resample path)
+    "photo80_q30_422",          # 4:2:2 (anisotropic sampling)
+    "odd100x52_q25_420",        # luma region smaller than chroma canvas
+])
+def test_joint_i5_matches_reference(name, fixtures_dir):
+    img = read_jpeg(fixtures_dir / f"{name}.jpg")
+    cfg = SolverConfig(iterations=(5,) * 3)
+    result = smooth_decode(img, cfg)
+
+    golden = load_golden_csv(fixtures_dir / "golden" / f"{name}_i5.csv")
+    assert_metrics_close(result.metrics_per_channel[3], golden[3])
+
+    gold_png = np.asarray(Image.open(fixtures_dir / "golden" / f"{name}_i5.png"))
+    p = psnr(result.pixels, gold_png)
+    assert p > 45.0, f"PSNR vs reference output too low: {p:.2f} dB"
+
+
+def test_progressive_equals_its_golden(fixtures_dir):
+    img = read_jpeg(fixtures_dir / "lineart64_q20_420_prog.jpg")
+    cfg = SolverConfig(iterations=(5,) * 3)
+    result = smooth_decode(img, cfg)
+    gold = np.asarray(
+        Image.open(fixtures_dir / "golden" / "lineart64_q20_420_prog_i5.png"))
+    assert psnr(result.pixels, gold) > 45.0
+
+
+def test_tv_only_matches_reference(fixtures_dir):
+    # -w 0 disables the TGV2 term entirely (compute.c:257)
+    img = read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")
+    cfg = SolverConfig(weights=(0.0, 0.0, 0.0), iterations=(5,) * 3)
+    result = smooth_decode(img, cfg)
+    golden = load_golden_csv(
+        fixtures_dir / "golden" / "lineart64_q20_420_w0_i5.csv")
+    ours = result.metrics_per_channel[3]
+    assert (ours[:, 3] == 0).all()
+    assert_metrics_close(ours, golden[3])
+    gold_png = np.asarray(
+        Image.open(fixtures_dir / "golden" / "lineart64_q20_420_w0_i5.png"))
+    assert psnr(result.pixels, gold_png) > 45.0
+
+
+def test_prob_off_matches_reference(fixtures_dir):
+    # -p 0 disables the DCT-distance term (compute.c:244)
+    img = read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")
+    cfg = SolverConfig(pweights=(0.0, 0.0, 0.0), iterations=(5,) * 3)
+    result = smooth_decode(img, cfg)
+    golden = load_golden_csv(
+        fixtures_dir / "golden" / "lineart64_q20_420_p0_i5.csv")
+    ours = result.metrics_per_channel[3]
+    assert (ours[:, 1] == 0).all()
+    assert_metrics_close(ours, golden[3])
+
+
+def test_separate_components_matches_reference(fixtures_dir):
+    img = read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")
+    cfg = SolverConfig(iterations=(5,) * 3, separate_components=True)
+    result = smooth_decode(img, cfg)
+    golden = load_golden_csv(
+        fixtures_dir / "golden" / "lineart64_q20_420_s_i5.csv")
+    for c in range(3):
+        assert_metrics_close(result.metrics_per_channel[c], golden[c])
+    gold_png = np.asarray(
+        Image.open(fixtures_dir / "golden" / "lineart64_q20_420_s_i5.png"))
+    assert psnr(result.pixels, gold_png) > 45.0
+
+
+def test_16bit_output_matches_reference(fixtures_dir):
+    img = read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")
+    cfg = SolverConfig(iterations=(5,) * 3)
+    result = smooth_decode(img, cfg, bits=16)
+    assert result.pixels.dtype == np.uint16
+    from pngdec import decode_png
+    gold = decode_png(
+        (fixtures_dir / "golden" / "lineart64_q20_420_16b_i5.png").read_bytes())
+    assert gold.dtype == np.uint16
+    # 16-bit scale: PSNR on the 16-bit lattice, normalized to 8-bit range
+    diff = (result.pixels.astype(np.float64) - gold.astype(np.float64)) / 256.0
+    mse = (diff**2).mean()
+    p = np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
+    assert p > 45.0, p
+    # reference scale convention: 16-bit white is 65280 (png.c:44-47)
+    assert result.pixels.max() <= 65280
+
+
+def test_default_50_iterations_matches_reference(fixtures_dir):
+    # the full default run on the bread-and-butter fixture
+    img = read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")
+    result = smooth_decode(img, SolverConfig())
+    gold = np.asarray(
+        Image.open(fixtures_dir / "golden" / "lineart64_q20_420_i50.png"))
+    p = psnr(result.pixels, gold)
+    assert p > 40.0, f"50-iteration drift too large: {p:.2f} dB"
+
+
+def test_grayscale_end_to_end(fixtures_dir):
+    # capability beyond the reference: 1-component JPEGs
+    img = read_jpeg(fixtures_dir / "gray64_q30.jpg")
+    result = smooth_decode(img, SolverConfig(iterations=(5,) * 3))
+    assert result.pixels.shape == (64, 64)
+    blocky = plain_decode(img)
+    # smoothing must reduce block-edge discontinuities
+    def edge_jump(a):
+        a = a.astype(np.float64)
+        return (np.abs(a[:, 7:-1:8] - a[:, 8::8]).mean()
+                + np.abs(a[7:-1:8, :] - a[8::8, :]).mean())
+    assert edge_jump(result.pixels) < edge_jump(blocky)

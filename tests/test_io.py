@@ -1,0 +1,158 @@
+"""IO layer tests: native coefficient reader, PNG writer, CLI parsing."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpeg2png_tpu.cli import build_parser, config_from_args, derive_output_name
+from jpeg2png_tpu.io import encode_png, read_jpeg, require_supported
+
+
+def test_reader_fields(fixtures_dir):
+    img = read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")
+    assert (img.height, img.width) == (64, 64)
+    assert img.nchannel == 3
+    assert not img.progressive
+    luma, cb, cr = img.planes
+    assert (luma.nby, luma.nbx) == (8, 8)
+    assert (luma.h_samp, luma.w_samp) == (1, 1)
+    assert (cb.nby, cb.nbx) == (4, 4)
+    assert (cb.h_samp, cb.w_samp) == (2, 2)
+    assert luma.data.dtype == np.int16 and luma.quant.dtype == np.uint16
+    assert (cb.quant > 0).all()
+
+
+def test_reader_progressive_matches_baseline(fixtures_dir):
+    # same source image saved baseline vs progressive: quant tables equal,
+    # coefficient grids equal shape; progressive flag set
+    base = read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")
+    prog = read_jpeg(fixtures_dir / "lineart64_q20_420_prog.jpg")
+    assert prog.progressive and not base.progressive
+    for pb, pp in zip(base.planes, prog.planes):
+        np.testing.assert_array_equal(pb.quant, pp.quant)
+        assert pb.data.shape == pp.data.shape
+
+
+def test_reader_odd_size(fixtures_dir):
+    img = read_jpeg(fixtures_dir / "odd100x52_q25_420.jpg")
+    assert (img.height, img.width) == (52, 100)
+    luma, cb, _ = img.planes
+    # block-rounded dims (jpeg.c:52-53)
+    assert (luma.nby, luma.nbx) == (7, 13)
+    assert (cb.nby, cb.nbx) == (4, 7)
+
+
+def test_reader_grayscale_and_policy(fixtures_dir):
+    img = read_jpeg(fixtures_dir / "gray64_q30.jpg")
+    assert img.nchannel == 1
+    require_supported(img)  # ok by default
+    with pytest.raises(ValueError, match="only 3 component"):
+        require_supported(img, strict_reference_compat=True)
+
+
+@pytest.mark.parametrize("junk", [
+    b"",
+    b"not a jpeg at all",
+    b"\xff\xd8\xff\xe0" + b"\x00" * 16,          # truncated header
+])
+def test_reader_malformed(junk):
+    with pytest.raises(ValueError):
+        read_jpeg(junk)
+
+
+def test_reader_truncated_stream(fixtures_dir):
+    raw = (fixtures_dir / "lineart64_q20_420.jpg").read_bytes()
+    # chopping inside the entropy-coded data: libjpeg either errors or
+    # pads with warnings; must not crash the process either way
+    try:
+        img = read_jpeg(raw[: len(raw) // 2])
+        assert img.nchannel == 3
+    except ValueError:
+        pass
+
+
+def test_png_roundtrip_8bit(tmp_path):
+    rng = np.random.default_rng(0)
+    pix = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    out = tmp_path / "x.png"
+    out.write_bytes(encode_png(pix, 8))
+    back = np.asarray(Image.open(out))
+    np.testing.assert_array_equal(back, pix)
+
+
+def test_png_roundtrip_16bit(tmp_path):
+    # PIL downconverts 16-bit RGB, so decode with the independent
+    # test-side decoder (tests/pngdec.py)
+    from pngdec import decode_png
+
+    rng = np.random.default_rng(1)
+    pix = rng.integers(0, 65536, (9, 5, 3), dtype=np.uint16)
+    back = decode_png(encode_png(pix, 16))
+    assert back.dtype == np.uint16
+    np.testing.assert_array_equal(back, pix)
+
+
+def test_pngdec_agrees_with_pil_on_8bit(fixtures_dir):
+    # sanity: the test-side decoder correctly handles libpng's filtered
+    # output (golden files), validated against PIL at 8 bits
+    from pngdec import decode_png
+
+    gold = fixtures_dir / "golden" / "lineart64_q20_420_i5.png"
+    ours = decode_png(gold.read_bytes())
+    pil = np.asarray(Image.open(gold))
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_png_grayscale(tmp_path):
+    pix = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = tmp_path / "g.png"
+    out.write_bytes(encode_png(pix, 8))
+    np.testing.assert_array_equal(np.asarray(Image.open(out)), pix)
+
+
+# ----------------------------- CLI parsing -----------------------------
+
+
+def _cfg(argv):
+    return config_from_args(build_parser().parse_args(argv))
+
+
+def test_cli_defaults():
+    cfg = _cfg(["a.jpg"])
+    assert cfg.weights == (0.3, 0.0, 0.0)
+    assert cfg.pweights == (0.001,) * 3
+    assert cfg.iterations == (50,) * 3
+    assert not cfg.separate_components
+
+
+def test_cli_triples_require_separate():
+    with pytest.raises(SystemExit):
+        _cfg(["a.jpg", "-w", "0.3,0.2,0.1"])
+    with pytest.raises(SystemExit):
+        _cfg(["a.jpg", "-i", "10,20,30"])
+    cfg = _cfg(["a.jpg", "-s", "-w", "0.3,0.2,0.1", "-i", "10,20,30"])
+    assert cfg.weights == (0.3, 0.2, 0.1)
+    assert cfg.iterations == (10, 20, 30)
+
+
+def test_cli_pweight_broadcast():
+    # -p triple is legal without -s (jpeg2png.c:219-230); single value
+    # broadcasts to chroma
+    cfg = _cfg(["a.jpg", "-p", "0.5"])
+    assert cfg.pweights == (0.5, 0.5, 0.5)
+    cfg = _cfg(["a.jpg", "-p", "0.1,0.2,0.3"])
+    assert cfg.pweights == (0.1, 0.2, 0.3)
+
+
+def test_cli_invalid_values():
+    with pytest.raises(SystemExit):
+        _cfg(["a.jpg", "-w", "abc"])
+    with pytest.raises(SystemExit):
+        _cfg(["a.jpg", "-i", "1,2"])
+
+
+def test_output_name_derivation():
+    assert derive_output_name("x.jpg") == "x.png"
+    assert derive_output_name("x.jpeg") == "x.png"
+    assert derive_output_name("x.JPG") == "x.png"
+    assert derive_output_name("noext") == "noext.png"
