@@ -37,9 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from jpeg2png_tpu.ops.blocks import deblockify
-from jpeg2png_tpu.ops.dct import idct8x8
-from jpeg2png_tpu.ops.projection import project_channel
-from jpeg2png_tpu.ops.prob import prob_term
+from jpeg2png_tpu.ops.dct_raster import idct_raster
+from jpeg2png_tpu.ops.projection import project_channel_raster
+from jpeg2png_tpu.ops.prob import prob_term_raster
 from jpeg2png_tpu.ops.resample import upsample_nearest_clamped
 from jpeg2png_tpu.ops.tv import tv_term, tv2_term
 
@@ -83,8 +83,10 @@ def initial_decode(data: jnp.ndarray, quant: jnp.ndarray) -> jnp.ndarray:
 
     data: [nby, nbx, 8, 8] int16; quant: [8, 8] float. Returns [ph, pw].
     """
-    dq = data.astype(quant.dtype) * quant
-    return deblockify(idct8x8(dq))
+    nby, nbx = data.shape[:2]
+    data_r = deblockify(data.astype(quant.dtype))
+    q_r = jnp.tile(quant, (nby, nbx))
+    return idct_raster(data_r * q_r)
 
 
 @functools.lru_cache(maxsize=32)
@@ -95,6 +97,7 @@ def _build_solver(
     iterations: int,
     simd_compat_logging: bool,
     dtype: str,
+    use_pallas: bool = False,
 ):
     """Compile a solver for a fixed geometry + hyperparameter setting.
 
@@ -114,42 +117,36 @@ def _build_solver(
 
     def solve(datas, quants):
         f32 = jnp.dtype(dtype)
-        quants = [q.astype(f32) for q in quants]
-        dqs = [d.astype(f32) * q for d, q in zip(datas, quants)]
-        los = [(d.astype(f32) - 0.5) * q for d, q in zip(datas, quants)]
-        his = [(d.astype(f32) + 0.5) * q for d, q in zip(datas, quants)]
+        # rasterize all per-channel constants once (outside the scan):
+        # coefficient (u,v) of block (by,bx) lives at (8by+u, 8bx+v)
+        q_rs = [jnp.tile(q.astype(f32), (g.nby, g.nbx))
+                for q, g in zip(quants, geoms)]
+        data_rs = [deblockify(d.astype(f32)) for d in datas]
+        dqs = [dr * qr for dr, qr in zip(data_rs, q_rs)]
+        los = [dq - 0.5 * qr for dq, qr in zip(dqs, q_rs)]
+        his = [dq + 0.5 * qr for dq, qr in zip(dqs, q_rs)]
+        inv_qs = [1.0 / qr for qr in q_rs]
 
         # initial iterate: plain decode, nearest-upsampled to the canvas
         # with edge clamping (compute.c:296-302)
         f0 = jnp.stack([
             upsample_nearest_clamped(
-                deblockify(idct8x8(dq)), g.h_samp, g.w_samp, H, W
+                idct_raster(dq), g.h_samp, g.w_samp, H, W
             )
             for dq, g in zip(dqs, geoms)
         ])
-        # cos seeded with data*quant (compute.c:279-286) => the prob term
-        # contributes exactly zero on iteration 0
-        cos0 = tuple(dqs)
 
-        def body(carry, _):
-            fdata, fista, cos, t = carry
-
-            # --- FISTA extrapolation (compute.c:431-440) ---
-            tnext = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
-            factor = (t - 1.0) / tnext
-            extrapolated = fdata + factor * (fdata - fista)
-            fista = fdata
-            fdata = extrapolated
-
-            # --- gradient of the objective ---
+        def prob_from_cos(cos):
+            """(prob_dist, pixel-space gradient [C,H,W]) from the saved
+            clamped DCT coefficients (compute.c:38-70)."""
             prob_dist = jnp.float32(0.0)
             prob_grads = []
             for c, g in enumerate(geoms):
                 if p_alphas[c] == 0.0:
                     prob_grads.append(jnp.zeros((H, W), f32))
                     continue
-                dist, region = prob_term(
-                    cos[c], dqs[c], quants[c],
+                dist, region = prob_term_raster(
+                    cos[c], dqs[c], inv_qs[c],
                     jnp.asarray(p_alphas[c], f32),
                     g.h_samp, g.w_samp,
                     include_alpha_in_dist=not simd_compat_logging,
@@ -161,7 +158,41 @@ def _build_solver(
                         ((0, H - g.region_h), (0, W - g.region_w)),
                     )
                 prob_grads.append(region)
-            grad = jnp.stack(prob_grads)
+            return prob_dist, jnp.stack(prob_grads)
+
+        def do_projection(fdata):
+            """Per-channel projection (compute.c:334-404); returns the
+            projected canvas and the clamped DCT coefficients."""
+            new_f = []
+            new_cos = []
+            for c, g in enumerate(geoms):
+                region = fdata[c, : g.region_h, : g.region_w]
+                proj, clamped = project_channel_raster(
+                    region, los[c], his[c], g.h_samp, g.w_samp
+                )
+                new_cos.append(clamped)
+                if g.region_h != H or g.region_w != W:
+                    ch = fdata[c].at[: g.region_h, : g.region_w].set(proj)
+                else:
+                    ch = proj
+                new_f.append(ch)
+            return jnp.stack(new_f), tuple(new_cos)
+
+        def fista_factor(t):
+            tnext = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+            return tnext, (t - 1.0) / tnext
+
+        def body_xla(carry, _):
+            fdata, fista, cos, t = carry
+
+            # --- FISTA extrapolation (compute.c:431-440) ---
+            tnext, factor = fista_factor(t)
+            extrapolated = fdata + factor * (fdata - fista)
+            fista = fdata
+            fdata = extrapolated
+
+            # --- gradient of the objective ---
+            prob_dist, grad = prob_from_cos(cos)
 
             tv, gtv, gx, gy = tv_term(fdata)
             grad = grad + gtv
@@ -178,32 +209,127 @@ def _build_solver(
             fdata = fdata - grad * scale[:, None, None]
 
             # --- projection onto Q per channel (compute.c:334-404) ---
-            new_f = []
-            new_cos = []
-            for c, g in enumerate(geoms):
-                region = fdata[c, : g.region_h, : g.region_w]
-                proj, clamped = project_channel(
-                    region, los[c], his[c], g.h_samp, g.w_samp
-                )
-                new_cos.append(clamped)
-                if g.region_h != H or g.region_w != W:
-                    ch = fdata[c].at[: g.region_h, : g.region_w].set(proj)
-                else:
-                    ch = proj
-                new_f.append(ch)
-            fdata = jnp.stack(new_f)
+            fdata, new_cos = do_projection(fdata)
 
             objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
             metrics = jnp.stack([objective, prob_dist, tv, tv2])
-            return (fdata, fista, tuple(new_cos), tnext), metrics
+            return (fdata, fista, new_cos, tnext), metrics
 
-        init = (f0, f0, cos0, jnp.asarray(1.0, f32))
+        def project_prob_channel(c, g, fmid):
+            """Fused update path for one channel: box projection with
+            footprint mean/residual folded into the DCT matmuls
+            (ops/dct_raster.py sampled transforms) + the next
+            iteration's prob pixel gradient and distance.
+
+            Algebra: with P = (I (x) D) @ M per axis (M = footprint
+            mean), out = fmid + s_r*s_c * P^T (clip(coefs) - coefs) P,
+            identical to the reference's mean/residual decomposition
+            (compute.c:334-404) up to f32 rounding.
+            """
+            from jpeg2png_tpu.ops.dct_raster import (
+                sampled_dct, sampled_idct_up)
+
+            sy, sx = g.h_samp, g.w_samp
+            ss = float(sy * sx)
+            ragged = g.region_h != H or g.region_w != W
+            region = fmid[: g.region_h, : g.region_w] if ragged else fmid
+            coefs = sampled_dct(region, sy, sx)
+            clamped = jnp.clip(coefs, los[c], his[c])
+            fnew_region = region + ss * sampled_idct_up(
+                clamped - coefs, sy, sx)
+            if ragged:
+                fnew = fmid.at[: g.region_h, : g.region_w].set(fnew_region)
+            else:
+                fnew = fnew_region
+
+            if p_alphas[c] == 0.0:
+                return fnew, None, jnp.float32(0.0)
+            devp = (clamped - dqs[c]) * inv_qs[c]
+            dist = 0.5 * jnp.sum(devp * devp, dtype=jnp.float32)
+            if not simd_compat_logging:
+                dist = p_alphas[c] * dist
+            pgrad_region = (p_alphas[c] * ss) * sampled_idct_up(
+                devp * inv_qs[c], sy, sx)
+            if ragged:
+                pgrad = jnp.pad(
+                    pgrad_region,
+                    ((0, H - g.region_h), (0, W - g.region_w)))
+            else:
+                pgrad = pgrad_region
+            return fnew, pgrad, dist
+
+        def body_pallas(carry, _):
+            # Same math with the extrapolation + TV/TGV2 gradient fused
+            # into one Pallas pass (kernels/grad_step.py).  State lives
+            # as per-channel [H, W] tuples — no [C, H, W] stacking in
+            # the loop (stacks are physical copies).  The prob term is
+            # carried as a pixel-space gradient computed right after the
+            # previous projection (identical to reading aux->cos,
+            # compute.c:381 + :38-70).
+            from jpeg2png_tpu.kernels.grad_step import fused_grad
+
+            fdatas, fistas, pgrads, prob_dist, t = carry
+            tnext, factor = fista_factor(t)
+
+            pg_in = []
+            k = 0
+            for c in range(len(geoms)):
+                if p_alphas[c] != 0.0:
+                    pg_in.append(pgrads[k])
+                    k += 1
+                else:
+                    pg_in.append(None)
+            grads, extraps, sumsq, tv, tv2 = fused_grad(
+                list(fdatas), list(fistas), pg_in, factor, weight)
+            norms = jnp.sqrt(sumsq)
+            scale = jnp.where(norms == 0.0, 0.0, step_size / norms)
+
+            new_fdatas = []
+            new_pgrads = []
+            prob_dist_next = jnp.float32(0.0)
+            for c, g in enumerate(geoms):
+                fmid = extraps[c] - grads[c] * scale[c]
+                fnew, pgrad, dist = project_prob_channel(c, g, fmid)
+                new_fdatas.append(fnew)
+                if pgrad is not None:
+                    new_pgrads.append(pgrad)
+                prob_dist_next = prob_dist_next + dist
+
+            objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
+            metrics = jnp.stack([objective, prob_dist, tv, tv2])
+            carry = (tuple(new_fdatas), fdatas, tuple(new_pgrads),
+                     prob_dist_next, tnext)
+            return carry, metrics
+
+        if use_pallas:
+            f0s = tuple(f0[c] for c in range(len(geoms)))
+            pg0 = tuple(jnp.zeros((H, W), f32) for c in range(len(geoms))
+                        if p_alphas[c] != 0.0)
+            init = (f0s, f0s, pg0, jnp.float32(0.0), jnp.asarray(1.0, f32))
+            (fdatas, _, _, _, _), metrics = jax.lax.scan(
+                body_pallas, init, None, length=iterations
+            )
+            return jnp.stack(fdatas), metrics
+
+        # cos seeded with data*quant (compute.c:279-286) => the prob
+        # term contributes exactly zero on iteration 0
+        init = (f0, f0, tuple(dqs), jnp.asarray(1.0, f32))
         (fdata, _, _, _), metrics = jax.lax.scan(
-            body, init, None, length=iterations
+            body_xla, init, None, length=iterations
         )
         return fdata, metrics
 
     return jax.jit(solve)
+
+
+def _pallas_default(geoms: Tuple[ChannelGeometry, ...]) -> bool:
+    """Use the fused Pallas path on TPU when the geometry supports it."""
+    if jax.default_backend() != "tpu":
+        return False
+    from jpeg2png_tpu.kernels.grad_step import supports
+
+    H, W = canvas_shape(geoms)
+    return supports(len(geoms), H, W)
 
 
 def solve_joint(
@@ -215,6 +341,7 @@ def solve_joint(
     iterations: int,
     simd_compat_logging: bool = True,
     dtype: str = "float32",
+    use_pallas: bool | None = None,
 ):
     """Joint multi-channel solve (the default mode, jpeg2png.c:142-144).
 
@@ -231,9 +358,12 @@ def solve_joint(
         ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
         for d, (sy, sx) in zip(datas, samps)
     )
+    if use_pallas is None:
+        use_pallas = _pallas_default(geoms)
     solver = _build_solver(
         geoms, float(weight), tuple(float(p) for p in pweights),
         int(iterations), bool(simd_compat_logging), dtype,
+        bool(use_pallas),
     )
     return solver(
         [jnp.asarray(d) for d in datas],

@@ -48,3 +48,26 @@ def prob_term(
     pix = deblockify(idct8x8(deriv))
     grad_region = p_alpha * upsample_replicate(pix, sy, sx)
     return prob_dist, grad_region
+
+
+def prob_term_raster(
+    cos_r: jnp.ndarray,     # [hc, wc] clamped DCT coefficients (raster)
+    dq_r: jnp.ndarray,      # [hc, wc] rasterized data * quant
+    inv_q_r: jnp.ndarray,   # [hc, wc] rasterized 1/quant
+    p_alpha: jnp.ndarray,
+    sy: int,
+    sx: int,
+    include_alpha_in_dist: bool = False,
+):
+    """Raster-layout prob term (same math as prob_term; the IDCT runs as
+    block-diagonal matmuls via ops/dct_raster.py, no layout shuffles)."""
+    from jpeg2png_tpu.ops.dct_raster import idct_raster
+
+    dev = cos_r - dq_r
+    scaled = dev * inv_q_r
+    prob_dist = 0.5 * jnp.sum(scaled * scaled, dtype=jnp.float32)
+    if include_alpha_in_dist:
+        prob_dist = p_alpha * prob_dist
+    pix = idct_raster(scaled * inv_q_r)
+    grad_region = p_alpha * upsample_replicate(pix, sy, sx)
+    return prob_dist, grad_region

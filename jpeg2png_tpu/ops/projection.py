@@ -48,3 +48,33 @@ def project_channel(
     else:
         out = residual + upsample_replicate(sub_proj, sy, sx)
     return out, clamped
+
+
+def project_channel_raster(
+    region: jnp.ndarray,    # [hc*sy, wc*sx] slice of full-res fdata
+    lo_r: jnp.ndarray,      # [hc, wc] rasterized (data-0.5)*quant
+    hi_r: jnp.ndarray,      # [hc, wc] rasterized (data+0.5)*quant
+    sy: int,
+    sx: int,
+):
+    """Raster-layout projection: identical math to project_channel but
+    with the block DCT applied in place via block-diagonal matmuls
+    (ops/dct_raster.py) — no blockify/deblockify transposes in the hot
+    loop.  Returns (projected_region, clamped_dct_raster)."""
+    from jpeg2png_tpu.ops.dct_raster import dct_raster, idct_raster
+
+    sub = footprint_mean(region, sy, sx)
+    if sy == 1 and sx == 1:
+        residual = None
+    else:
+        residual = region - upsample_replicate(sub, sy, sx)
+
+    coefs = dct_raster(sub)
+    clamped = jnp.clip(coefs, lo_r, hi_r)
+    sub_proj = idct_raster(clamped)
+
+    if residual is None:
+        out = sub_proj
+    else:
+        out = residual + upsample_replicate(sub_proj, sy, sx)
+    return out, clamped

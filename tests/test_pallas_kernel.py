@@ -1,0 +1,112 @@
+"""Fused Pallas gradient kernel vs the XLA ops, in interpreter mode.
+
+The CI environment is CPU-only, so the kernel runs through the Pallas
+interpreter here; the same comparison runs compiled on real TPU via
+`python -m tests.tpu_checks` (see that module).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from jpeg2png_tpu.kernels import grad_step
+from jpeg2png_tpu.ops.tv import tv_term, tv2_term
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+
+@pytest.mark.parametrize("C,H,W,weight,with_prob", [
+    (3, 96, 128, 0.3, True),      # 3 stripes, all terms
+    (3, 96, 128, 0.0, False),     # TV only, no prob
+    (1, 104, 256, 0.3, True),     # single channel, partial last stripe
+])
+def test_fused_grad_matches_ops(interpret_pallas, C, H, W, weight, with_prob):
+    rng = np.random.default_rng(0)
+    fs = [jnp.asarray(rng.normal(0, 50, (H, W)).astype(np.float32))
+          for _ in range(C)]
+    fis = [jnp.asarray(rng.normal(0, 50, (H, W)).astype(np.float32))
+           for _ in range(C)]
+    pgs = [jnp.asarray(rng.normal(0, 1, (H, W)).astype(np.float32))
+           if with_prob else None for _ in range(C)]
+    factor = jnp.float32(0.37)
+
+    grads, extraps, sumsq, tv, tv2 = grad_step.fused_grad(
+        fs, fis, pgs, factor, weight)
+
+    f = jnp.stack(fs)
+    fl = f + factor * (f - jnp.stack(fis))
+    tv_r, gtv, gx, gy = tv_term(fl)
+    gref = gtv
+    tv2_r = 0.0
+    if weight != 0.0:
+        tv2_r, g2 = tv2_term(gx, gy, weight / np.sqrt(2))
+        gref = gref + g2
+    if with_prob:
+        gref = gref + jnp.stack(pgs)
+    gref = np.asarray(gref)
+
+    got = np.stack([np.asarray(g) for g in grads])
+    np.testing.assert_allclose(got, gref, atol=1e-4)
+    np.testing.assert_allclose(
+        np.stack([np.asarray(e) for e in extraps]), np.asarray(fl),
+        atol=1e-5)
+    assert abs(float(tv) - float(tv_r)) / float(tv_r) < 1e-5
+    if weight != 0.0:
+        assert abs(float(tv2) - float(tv2_r)) / float(tv2_r) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(sumsq), (gref**2).sum(axis=(1, 2)), rtol=1e-5)
+
+
+def test_supports_gating():
+    assert grad_step.supports(3, 512, 512)
+    assert grad_step.supports(3, 48, 128)
+    assert not grad_step.supports(3, 64, 104)   # width not lane-aligned
+    assert not grad_step.supports(3, 16, 128)   # too short for halo
+    assert not grad_step.supports(3, 63, 512)   # height not 8-aligned
+
+
+def test_sampled_dct_matches_mean_plus_dct():
+    """The fused resample+DCT matmuls equal mean-downsample then DCT."""
+    from jpeg2png_tpu.ops.dct_raster import (
+        dct_raster, idct_raster, sampled_dct, sampled_idct_up)
+    from jpeg2png_tpu.ops.resample import footprint_mean, upsample_replicate
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 100, (64, 96)).astype(np.float32))
+    for sy, sx in [(1, 1), (2, 2), (2, 1)]:
+        ref = dct_raster(footprint_mean(x[: 64, : 96], sy, sx))
+        got = sampled_dct(x, sy, sx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-3)
+        # inverse + upsample (caller multiplies by sy*sx)
+        y = jnp.asarray(rng.normal(0, 10, got.shape).astype(np.float32))
+        ref_up = upsample_replicate(idct_raster(y), sy, sx)
+        got_up = sy * sx * sampled_idct_up(y, sy, sx)
+        np.testing.assert_allclose(np.asarray(got_up), np.asarray(ref_up),
+                                   atol=2e-3)
+
+
+def test_raster_dct_matches_blocked():
+    from jpeg2png_tpu.ops.blocks import blockify, deblockify
+    from jpeg2png_tpu.ops.dct import dct8x8
+    from jpeg2png_tpu.ops.dct_raster import dct_raster, idct_raster
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 100, (48, 72)).astype(np.float32))
+    ref = np.asarray(deblockify(dct8x8(blockify(x))))
+    # blocked coefficient (u,v) of block (by,bx) sits at (8by+u, 8bx+v)
+    got = np.asarray(dct_raster(x))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+    back = np.asarray(idct_raster(dct_raster(x)))
+    np.testing.assert_allclose(back, np.asarray(x), atol=2e-3)
