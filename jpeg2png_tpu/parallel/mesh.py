@@ -1,0 +1,36 @@
+"""Device mesh construction for spatial (stripe) sharding.
+
+One image is sharded over devices in row stripes (the sequence/context
+parallel analog for this workload — SURVEY.md §5); batch parallelism
+adds an independent leading axis.  The mesh axis names are:
+
+    "y"     — image rows (stripe/context parallel; halo collectives)
+    "batch" — independent images (pure data parallel)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def stripe_mesh(n_devices: Optional[int] = None,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over `n_devices` (default: all) with axis "y"."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("y",))
+
+
+def batch_stripe_mesh(n_batch: int, n_stripe: int,
+                      devices: Optional[Sequence] = None) -> Mesh:
+    """2-D mesh ("batch", "y")."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_batch * n_stripe])
+    return Mesh(devices.reshape(n_batch, n_stripe), ("batch", "y"))

@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon site hook (this machine's remote-TPU tunnel) overrides
+# JAX_PLATFORMS via jax.config at interpreter start; override it back —
+# tests must run on the simulated 8-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest

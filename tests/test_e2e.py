@@ -38,7 +38,7 @@ def psnr(a, b):
     return np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
 
 
-def assert_metrics_close(ours, golden, rtol=2e-3):
+def assert_metrics_close(ours, golden, rtol=6e-3):
     assert ours.shape == golden.shape
     # relative comparison column-wise; prob_dist starts at exactly 0
     np.testing.assert_allclose(ours[:, 0], golden[:, 0], rtol=rtol)
