@@ -175,15 +175,31 @@ def main(argv=None) -> int:
     def run_one(pair):
         infile, outfile = pair
         try:
-            decode_file(infile, outfile, cfg, bits, logger, progress)
+            decode_file(infile, outfile, cfg, bits, logger, progress,
+                        stripes=args.tpu_stripes)
             return None
         except (ValueError, OSError) as e:
             return f"{infile}: {e}"
 
     pairs = list(zip(args.inputs, outfiles))
+    errors = []
+    if args.tpu_batch and nin > 1 and not cfg.separate_components:
+        # one vmapped solve per geometry bucket (runner.py)
+        from jpeg2png_tpu.io import write_png
+        from jpeg2png_tpu.runner import decode_files_batched
+        try:
+            pixels = decode_files_batched(
+                args.inputs, cfg, bits,
+                io_threads=args.threads or 8, logger=logger)
+            for infile, outfile in pairs:
+                write_png(outfile, pixels[infile], bits)
+                if progress:
+                    progress.increment(cfg.iterations[0])
+        except (ValueError, OSError) as e:
+            errors.append(str(e))
     # per-image error isolation: one bad file doesn't kill the batch
     # (improvement over the reference, where die() exits, SURVEY.md §5)
-    if args.threads and args.threads > 1 and nin > 1:
+    elif args.threads and args.threads > 1 and nin > 1:
         with concurrent.futures.ThreadPoolExecutor(args.threads) as pool:
             errors = [e for e in pool.map(run_one, pairs) if e]
     else:

@@ -31,8 +31,13 @@ class DecodeResult:
 
 def smooth_decode(img: JpegImage, cfg: SolverConfig,
                   progress: Optional[ProgressBar] = None,
-                  bits: int = 8) -> DecodeResult:
-    """Solve and convert one parsed JPEG to output pixels."""
+                  bits: int = 8, stripes: int = 0) -> DecodeResult:
+    """Solve and convert one parsed JPEG to output pixels.
+
+    stripes > 1 shards the image's rows over that many devices with
+    per-iteration halo collectives (parallel/stripes.py) — the path for
+    giant images that exceed one chip (BASELINE.json config 5).
+    """
     require_supported(img)
     datas = [p.data for p in img.planes]
     quants = [p.quant for p in img.planes]
@@ -40,7 +45,28 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
     C = img.nchannel
 
     metrics_out = {}
-    if not cfg.separate_components or C == 1:
+    if stripes > 1 and (not cfg.separate_components or C == 1):
+        from jpeg2png_tpu.models.solver import ChannelGeometry
+        from jpeg2png_tpu.parallel.mesh import stripe_mesh
+        from jpeg2png_tpu.parallel.stripes import (
+            solve_striped, stripes_supported)
+
+        geoms = tuple(ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+                      for d, (sy, sx) in zip(datas, samps))
+        if not stripes_supported(geoms, stripes):
+            raise ValueError(
+                f"image geometry {geoms} cannot be striped over "
+                f"{stripes} devices (needs H % {stripes * 8}*h_samp == 0 "
+                "and full-canvas channels)")
+        fdata, metrics = solve_striped(
+            datas, quants, samps, cfg.weights[0], cfg.pweights[:C],
+            cfg.iterations[0], stripe_mesh(stripes),
+            cfg.simd_compat_logging)
+        metrics_out[3 if C > 1 else 0] = np.asarray(metrics)
+        channels = [fdata[c] for c in range(C)]
+        if progress:
+            progress.increment(cfg.iterations[0])
+    elif not cfg.separate_components or C == 1:
         fdata, metrics = solve_joint(
             datas, quants, samps,
             cfg.weights[0], cfg.pweights[:C], cfg.iterations[0],
@@ -83,10 +109,11 @@ def decode_file(
     bits: int = 8,
     logger: Optional[ConvergenceLogger] = None,
     progress: Optional[ProgressBar] = None,
+    stripes: int = 0,
 ) -> DecodeResult:
     """Full per-file pipeline (jpeg2png.c:120-172)."""
     img = read_jpeg(infile)
-    result = smooth_decode(img, cfg, progress, bits)
+    result = smooth_decode(img, cfg, progress, bits, stripes)
     if logger is not None:
         for channel, metrics in sorted(result.metrics_per_channel.items()):
             logger.log_metrics(infile, channel, metrics)

@@ -1,0 +1,54 @@
+"""Batched runner: bucketing, vmapped solve parity, end-to-end batch."""
+
+import numpy as np
+
+from jpeg2png_tpu.io import read_jpeg
+from jpeg2png_tpu.models.solver import solve_joint
+from jpeg2png_tpu.pipeline import smooth_decode
+from jpeg2png_tpu.runner import decode_files_batched, solve_batched
+from jpeg2png_tpu.utils.config import SolverConfig
+
+
+def test_batched_matches_individual():
+    rng = np.random.default_rng(31)
+    samps = [(1, 1), (2, 2), (2, 2)]
+    B = 3
+    datas, quants = [], []
+    for _ in range(B):
+        datas.append([
+            rng.integers(-25, 25, (4, 4, 8, 8)).astype(np.int16),
+            rng.integers(-12, 12, (2, 2, 8, 8)).astype(np.int16),
+            rng.integers(-12, 12, (2, 2, 8, 8)).astype(np.int16),
+        ])
+        quants.append([rng.integers(1, 60, (8, 8)).astype(np.uint16)
+                       for _ in range(3)])
+
+    res = solve_batched(datas, quants, samps, 0.3, [0.001] * 3, 3)
+    assert res.fdata.shape == (B, 3, 32, 32)
+    for b in range(B):
+        fd, m = solve_joint(datas[b], quants[b], samps, 0.3, [0.001] * 3, 3,
+                            use_pallas=False)
+        np.testing.assert_allclose(res.fdata[b], np.asarray(fd), atol=5e-3)
+        np.testing.assert_allclose(res.metrics[b], np.asarray(m), rtol=3e-4)
+
+
+def test_decode_files_batched_mixed_sizes(fixtures_dir):
+    files = [str(fixtures_dir / n) for n in (
+        "lineart64_q20_420.jpg",          # bucket A
+        "lineart64_q20_420_prog.jpg",     # bucket A (same geometry)
+        "photo80_q30_422.jpg",            # bucket B
+        "gray64_q30.jpg",                 # bucket C (1 channel)
+    )]
+    cfg = SolverConfig(iterations=(3,) * 3)
+    out = decode_files_batched(files, cfg)
+    assert set(out) == set(files)
+    assert out[files[0]].shape == (64, 64, 3)
+    assert out[files[2]].shape == (80, 80, 3)
+    assert out[files[3]].shape == (64, 64)
+
+    # bucketed result == single-image pipeline result (up to f32
+    # reduction-order drift amplified by the subgradient; pixel-level)
+    single = smooth_decode(read_jpeg(files[0]), cfg)
+    diff = np.abs(out[files[0]].astype(int) - single.pixels.astype(int))
+    assert diff.max() <= 3
+    assert (diff > 1).mean() < 0.01
