@@ -1,0 +1,142 @@
+"""Checkpoint / resume for long solver runs.
+
+The reference never needed this (runs are seconds, SURVEY.md §5), but a
+100-megapixel image at thousands of iterations does: the entire solver
+state is one small pytree — (fdata, fista, prob-gradient/cos, prob_dist,
+t) per the active body — so we snapshot it every K iterations and can
+resume a killed run exactly where it stopped (the FISTA step size is
+derived from the TOTAL planned iteration count, not the chunk, so
+chunked execution is numerically identical to one uninterrupted scan).
+
+Format: a .npz with the flattened carry leaves plus a pickled treedef
+and a config fingerprint that refuses to resume mismatched runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import io
+import pickle
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from jpeg2png_tpu.models.solver import (
+    ChannelGeometry, _build_solver_impl, _pallas_default,
+)
+
+
+def _fingerprint(geoms, weight, pweights, iterations, use_pallas) -> str:
+    blob = repr((geoms, weight, tuple(pweights), iterations,
+                 use_pallas)).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def save_state(path, carry, iteration: int, fingerprint: str) -> None:
+    leaves, treedef = jax.tree.flatten(carry)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    buf = io.BytesIO()
+    pickle.dump(treedef, buf)
+    np.savez(
+        path,
+        _treedef=np.frombuffer(buf.getvalue(), dtype=np.uint8),
+        _iteration=np.int64(iteration),
+        _fingerprint=np.frombuffer(fingerprint.encode(), dtype=np.uint8),
+        **arrays,
+    )
+
+
+def load_state(path, fingerprint: str):
+    """-> (carry, iteration). Raises ValueError on config mismatch."""
+    with np.load(path) as z:
+        saved_fp = bytes(z["_fingerprint"]).decode()
+        if saved_fp != fingerprint:
+            raise ValueError(
+                "checkpoint was written by a different solve configuration "
+                f"(saved {saved_fp}, current {fingerprint})")
+        iteration = int(z["_iteration"])
+        treedef = pickle.loads(bytes(z["_treedef"]))
+        leaves = []
+        i = 0
+        while f"leaf_{i}" in z:
+            leaves.append(z[f"leaf_{i}"])
+            i += 1
+    return jax.tree.unflatten(treedef, leaves), iteration
+
+
+@dataclasses.dataclass
+class CheckpointedResult:
+    fdata: np.ndarray
+    metrics: np.ndarray
+    resumed_from: int
+
+
+def solve_checkpointed(
+    datas: Sequence[np.ndarray],
+    quants: Sequence[np.ndarray],
+    samps: Sequence[Tuple[int, int]],
+    weight: float,
+    pweights: Sequence[float],
+    iterations: int,
+    checkpoint_path: str,
+    checkpoint_every: int = 100,
+    simd_compat_logging: bool = True,
+    use_pallas: Optional[bool] = None,
+    resume: bool = True,
+) -> CheckpointedResult:
+    """solve_joint with periodic state snapshots and resume-on-restart."""
+    import os
+
+    geoms = tuple(
+        ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+        for d, (sy, sx) in zip(datas, samps)
+    )
+    if use_pallas is None:
+        use_pallas = _pallas_default(geoms)
+    impl = _build_solver_impl(
+        geoms, float(weight), tuple(float(p) for p in pweights),
+        int(iterations), bool(simd_compat_logging), "float32",
+        bool(use_pallas),
+    )
+    fp = _fingerprint(geoms, float(weight), pweights, int(iterations),
+                      bool(use_pallas))
+
+    import jax.numpy as jnp
+    d_dev = [jnp.asarray(d) for d in datas]
+    q_dev = [jnp.asarray(q) for q in quants]
+
+    start = 0
+    carry = None
+    if resume and os.path.exists(checkpoint_path):
+        carry, start = load_state(checkpoint_path, fp)
+        carry = jax.tree.map(jnp.asarray, carry)
+
+    init_fn = jax.jit(lambda d, q: impl(d, q, None, 0)[2])
+    if carry is None:
+        carry = init_fn(d_dev, q_dev)
+
+    all_metrics = []
+    done = start
+    fdata = None
+    while done < iterations:
+        chunk = min(checkpoint_every, iterations - done)
+        step_fn = jax.jit(
+            lambda d, q, c, n=chunk: impl(d, q, c, n))
+        fdata, metrics, carry = step_fn(d_dev, q_dev, carry)
+        all_metrics.append(np.asarray(metrics))
+        done += chunk
+        if done < iterations:
+            save_state(checkpoint_path, carry, done, fp)
+
+    # completed: remove the snapshot so a rerun starts fresh
+    if os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
+
+    return CheckpointedResult(
+        fdata=np.asarray(fdata),
+        metrics=(np.concatenate(all_metrics)
+                 if all_metrics else np.zeros((0, 4), np.float32)),
+        resumed_from=start,
+    )

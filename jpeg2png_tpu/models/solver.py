@@ -90,7 +90,7 @@ def initial_decode(data: jnp.ndarray, quant: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _build_solver(
+def _build_solver_impl(
     geoms: Tuple[ChannelGeometry, ...],
     weight: float,
     pweights: Tuple[float, ...],
@@ -99,7 +99,15 @@ def _build_solver(
     dtype: str,
     use_pallas: bool = False,
 ):
-    """Compile a solver for a fixed geometry + hyperparameter setting.
+    """Build the (unjitted) resumable solver implementation.
+
+    Returns solve_impl(datas, quants, carry_in, nsteps) ->
+    (fdata, metrics, carry_out): `carry_in=None` starts from the plain
+    decode; a carry from a previous call resumes (checkpoint/resume for
+    long runs — the whole solver state is this small pytree, SURVEY.md
+    §5).  `iterations` is the TOTAL planned count and fixes the step
+    size radius/sqrt(1+iterations) (compute.c:443) regardless of how
+    many chunks the run is split into.
 
     Weights/iterations are trace-time constants: zero-weight terms are
     skipped entirely, like the pweight/weight branches at
@@ -115,7 +123,7 @@ def _build_solver(
     if weight != 0.0:
         total_alpha += (weight / math.sqrt(2.0)) * nchannel
 
-    def solve(datas, quants):
+    def solve_impl(datas, quants, carry_in, nsteps):
         f32 = jnp.dtype(dtype)
         # rasterize all per-channel constants once (outside the scan):
         # coefficient (u,v) of block (by,bx) lives at (8by+u, 8bx+v)
@@ -302,21 +310,47 @@ def _build_solver(
             return carry, metrics
 
         if use_pallas:
-            f0s = tuple(f0[c] for c in range(len(geoms)))
-            pg0 = tuple(jnp.zeros((H, W), f32) for c in range(len(geoms))
-                        if p_alphas[c] != 0.0)
-            init = (f0s, f0s, pg0, jnp.float32(0.0), jnp.asarray(1.0, f32))
-            (fdatas, _, _, _, _), metrics = jax.lax.scan(
-                body_pallas, init, None, length=iterations
+            if carry_in is None:
+                f0s = tuple(f0[c] for c in range(len(geoms)))
+                pg0 = tuple(
+                    jnp.zeros((H, W), f32) for c in range(len(geoms))
+                    if p_alphas[c] != 0.0)
+                carry_in = (f0s, f0s, pg0, jnp.float32(0.0),
+                            jnp.asarray(1.0, f32))
+            carry_out, metrics = jax.lax.scan(
+                body_pallas, carry_in, None, length=nsteps
             )
-            return jnp.stack(fdatas), metrics
+            return jnp.stack(carry_out[0]), metrics, carry_out
 
-        # cos seeded with data*quant (compute.c:279-286) => the prob
-        # term contributes exactly zero on iteration 0
-        init = (f0, f0, tuple(dqs), jnp.asarray(1.0, f32))
-        (fdata, _, _, _), metrics = jax.lax.scan(
-            body_xla, init, None, length=iterations
+        if carry_in is None:
+            # cos seeded with data*quant (compute.c:279-286) => the prob
+            # term contributes exactly zero on iteration 0
+            carry_in = (f0, f0, tuple(dqs), jnp.asarray(1.0, f32))
+        carry_out, metrics = jax.lax.scan(
+            body_xla, carry_in, None, length=nsteps
         )
+        return carry_out[0], metrics, carry_out
+
+    return solve_impl
+
+
+@functools.lru_cache(maxsize=32)
+def _build_solver(
+    geoms: Tuple[ChannelGeometry, ...],
+    weight: float,
+    pweights: Tuple[float, ...],
+    iterations: int,
+    simd_compat_logging: bool,
+    dtype: str,
+    use_pallas: bool = False,
+):
+    """Jitted full solve for a fixed geometry + hyperparameter setting."""
+    impl = _build_solver_impl(
+        geoms, weight, pweights, iterations, simd_compat_logging, dtype,
+        use_pallas)
+
+    def solve(datas, quants):
+        fdata, metrics, _ = impl(datas, quants, None, iterations)
         return fdata, metrics
 
     return jax.jit(solve)
