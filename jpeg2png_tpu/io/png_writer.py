@@ -14,6 +14,11 @@ import zlib
 
 import numpy as np
 
+try:  # native libpng encoder (faster, GIL-free); zlib path is fallback
+    from jpeg2png_tpu.io import _pngio
+except ImportError:  # pragma: no cover
+    _pngio = None
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -26,13 +31,22 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, bits: int = 8) -> bytes:
+def encode_png(pixels: np.ndarray, bits: int = 8,
+               force_python: bool = False) -> bytes:
     """Encode [H, W, 3] RGB or [H, W] grayscale (uint8/uint16) to PNG.
 
-    16-bit samples are written big-endian (png.c:56-61).  Rows use
-    filter type 0 (None); compression favors determinism/throughput
-    over ratio — the reference's outputs are not byte-compared anyway.
+    Uses the native libpng encoder when built (filtered, GIL-free);
+    otherwise a pure zlib path with filter type 0.  16-bit samples are
+    written big-endian (png.c:56-61).
     """
+    if _pngio is not None and not force_python:
+        arr = pixels if pixels.ndim == 3 else pixels[:, :, None]
+        h, w, ch = arr.shape
+        if ch in (1, 3) and bits in (8, 16):
+            raw = (arr.astype("u1", copy=False) if bits == 8
+                   else arr.astype(">u2", copy=False))
+            return _pngio.encode(
+                np.ascontiguousarray(raw).tobytes(), h, w, ch, bits)
     if pixels.ndim == 2:
         color_type = 0
         pixels = pixels[:, :, None]

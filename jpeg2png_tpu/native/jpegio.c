@@ -53,7 +53,8 @@ read_coefficients(PyObject *self, PyObject *args)
 
     struct jpeg_decompress_struct d;
     struct err_mgr err;
-    PyObject *components = NULL;
+    /* volatile: assigned between setjmp and a potential longjmp */
+    PyObject * volatile components = NULL;
     PyObject *result = NULL;
 
     d.err = jpeg_std_error(&err.pub);
@@ -112,8 +113,30 @@ read_coefficients(PyObject *self, PyObject *args)
         }
     }
 
-    /* full entropy decode of all scans into virtual coefficient arrays */
-    jvirt_barray_ptr *coef_arrays = jpeg_read_coefficients(&d);
+    /* full entropy decode of all scans into virtual coefficient arrays.
+     * This is the expensive host-side stage for big/progressive files;
+     * drop the GIL so a thread pool can decode a batch in parallel
+     * (the reference gets this from its OpenMP file loop,
+     * jpeg2png.c:330-337).  A libjpeg error during the no-GIL region
+     * longjmps to a scoped setjmp that only sets a flag — Python C API
+     * calls must wait until the GIL is re-acquired. */
+    jvirt_barray_ptr * volatile coef_arrays = NULL;
+    volatile int decode_failed = 0;
+    Py_BEGIN_ALLOW_THREADS
+    if (setjmp(err.env)) {
+        decode_failed = 1;
+    } else {
+        coef_arrays = jpeg_read_coefficients(&d);
+    }
+    Py_END_ALLOW_THREADS
+    /* re-arm the GIL-held error handler for the copy loop below */
+    if (decode_failed || setjmp(err.env)) {
+        jpeg_destroy_decompress(&d);
+        Py_XDECREF(components);
+        PyBuffer_Release(&buf);
+        PyErr_Format(PyExc_ValueError, "libjpeg error: %s", err.msg);
+        return NULL;
+    }
     if (!coef_arrays) {
         jpeg_destroy_decompress(&d);
         PyBuffer_Release(&buf);

@@ -24,5 +24,11 @@ setup(
             libraries=["jpeg"],
             extra_compile_args=["-O2", "-Wall", "-Wextra"],
         ),
+        Extension(
+            "jpeg2png_tpu.io._pngio",
+            sources=["jpeg2png_tpu/native/pngio.c"],
+            libraries=["png"],
+            extra_compile_args=["-O2", "-Wall", "-Wextra"],
+        ),
     ],
 )

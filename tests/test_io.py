@@ -156,3 +156,21 @@ def test_output_name_derivation():
     assert derive_output_name("x.jpeg") == "x.png"
     assert derive_output_name("x.JPG") == "x.png"
     assert derive_output_name("noext") == "noext.png"
+
+
+def test_native_and_python_png_encoders_agree(tmp_path):
+    # both encoders must produce PNGs that decode to identical pixels
+    import io as _io
+
+    from jpeg2png_tpu.io.png_writer import _pngio, encode_png
+    if _pngio is None:
+        pytest.skip("native encoder not built")
+    rng = np.random.default_rng(7)
+    for shape, bits in [((15, 22, 3), 8), ((10, 9), 8), ((6, 5, 3), 16)]:
+        dtype = np.uint8 if bits == 8 else np.uint16
+        pix = rng.integers(0, 2 ** bits, shape).astype(dtype)
+        from pngdec import decode_png
+        a = decode_png(encode_png(pix, bits))
+        b = decode_png(encode_png(pix, bits, force_python=True))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a.reshape(pix.shape), pix)
