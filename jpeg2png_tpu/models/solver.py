@@ -267,13 +267,17 @@ def _build_solver_impl(
             return fnew, pgrad, dist
 
         def body_pallas(carry, _):
-            # Same math with the extrapolation + TV/TGV2 gradient fused
-            # into one Pallas pass (kernels/grad_step.py).  State lives
-            # as per-channel [H, W] tuples — no [C, H, W] stacking in
-            # the loop (stacks are physical copies).  The prob term is
-            # carried as a pixel-space gradient computed right after the
-            # previous projection (identical to reading aux->cos,
+            # Same math with the whole iteration in Pallas: one fused
+            # pass for extrapolation + TV/TGV2 gradients
+            # (kernels/grad_step.py) and one fused pass per channel for
+            # the normalized step + box projection + prob gradient
+            # (kernels/project_step.py).  State lives as per-channel
+            # [H, W] tuples — no [C, H, W] stacking in the loop (stacks
+            # are physical copies).  The prob term is carried as a
+            # pixel-space gradient computed right after the previous
+            # projection (identical to reading aux->cos,
             # compute.c:381 + :38-70).
+            from jpeg2png_tpu.kernels import project_step
             from jpeg2png_tpu.kernels.grad_step import fused_grad
 
             fdatas, fistas, pgrads, prob_dist, t = carry
@@ -296,8 +300,23 @@ def _build_solver_impl(
             new_pgrads = []
             prob_dist_next = jnp.float32(0.0)
             for c, g in enumerate(geoms):
-                fmid = extraps[c] - grads[c] * scale[c]
-                fnew, pgrad, dist = project_prob_channel(c, g, fmid)
+                full_canvas = g.region_h == H and g.region_w == W
+                if full_canvas and project_step.supports(
+                        H, W, g.h_samp, g.w_samp):
+                    with_prob = p_alphas[c] != 0.0
+                    fnew, pgrad, dist = project_step.fused_project(
+                        extraps[c], grads[c], scale[c],
+                        los[c], his[c],
+                        dqs[c] if with_prob else None,
+                        inv_qs[c] if with_prob else None,
+                        (p_alphas[c] * g.h_samp * g.w_samp
+                         if with_prob else 0.0),
+                        g.h_samp, g.w_samp)
+                    if with_prob and not simd_compat_logging:
+                        dist = p_alphas[c] * dist
+                else:
+                    fmid = extraps[c] - grads[c] * scale[c]
+                    fnew, pgrad, dist = project_prob_channel(c, g, fmid)
                 new_fdatas.append(fnew)
                 if pgrad is not None:
                     new_pgrads.append(pgrad)

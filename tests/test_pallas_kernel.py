@@ -110,3 +110,45 @@ def test_raster_dct_matches_blocked():
     np.testing.assert_allclose(got, ref, atol=2e-3)
     back = np.asarray(idct_raster(dct_raster(x)))
     np.testing.assert_allclose(back, np.asarray(x), atol=2e-3)
+
+
+@pytest.mark.parametrize("sy,sx,with_prob", [
+    (1, 1, True), (2, 2, True), (1, 1, False),
+])
+def test_fused_project_matches_ops(interpret_pallas, sy, sx, with_prob):
+    from jpeg2png_tpu.kernels.project_step import fused_project
+    from jpeg2png_tpu.ops.dct_raster import sampled_dct, sampled_idct_up
+
+    rng = np.random.default_rng(3)
+    H, W = 64, 128
+    hc, wc = H // sy, W // sx
+    e = jnp.asarray(rng.normal(0, 50, (H, W)).astype(np.float32))
+    g = jnp.asarray(rng.normal(0, 1, (H, W)).astype(np.float32))
+    q = jnp.asarray(np.tile(
+        rng.integers(1, 60, (8, 8)).astype(np.float32),
+        (hc // 8, wc // 8)))
+    data = jnp.asarray(np.round(rng.normal(0, 5, (hc, wc))).astype(np.float32))
+    dq = data * q
+    lo, hi, iq = dq - 0.5 * q, dq + 0.5 * q, 1.0 / q
+    scale = jnp.float32(0.02)
+    pa = 0.36
+
+    fnew, pg, dist = fused_project(
+        e, g, scale, lo, hi,
+        dq if with_prob else None, iq if with_prob else None,
+        pa * sy * sx if with_prob else 0.0, sy, sx)
+
+    fmid = e - scale * g
+    coefs = sampled_dct(fmid, sy, sx)
+    cl = jnp.clip(coefs, lo, hi)
+    fref = fmid + sy * sx * sampled_idct_up(cl - coefs, sy, sx)
+    np.testing.assert_allclose(np.asarray(fnew), np.asarray(fref), atol=1e-3)
+    if with_prob:
+        devp = (cl - dq) * iq
+        np.testing.assert_allclose(
+            float(dist), float(0.5 * jnp.sum(devp * devp)), rtol=1e-5)
+        pgref = pa * sy * sx * sampled_idct_up(devp * iq, sy, sx)
+        np.testing.assert_allclose(np.asarray(pg), np.asarray(pgref),
+                                   atol=1e-5)
+    else:
+        assert pg is None
