@@ -138,17 +138,20 @@ def test_fused_project_matches_ops(interpret_pallas, sy, sx, with_prob):
         dq if with_prob else None, iq if with_prob else None,
         pa * sy * sx if with_prob else 0.0, sy, sx)
 
+    # tolerances sized for the kernel's bf16x3 matmuls (~1e-5 relative
+    # per product; see kernels/project_step.py docstring) at the test's
+    # ~4e2 coefficient magnitudes — the ops reference path stays f32
     fmid = e - scale * g
     coefs = sampled_dct(fmid, sy, sx)
     cl = jnp.clip(coefs, lo, hi)
     fref = fmid + sy * sx * sampled_idct_up(cl - coefs, sy, sx)
-    np.testing.assert_allclose(np.asarray(fnew), np.asarray(fref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fnew), np.asarray(fref), atol=2e-2)
     if with_prob:
         devp = (cl - dq) * iq
         np.testing.assert_allclose(
-            float(dist), float(0.5 * jnp.sum(devp * devp)), rtol=1e-5)
+            float(dist), float(0.5 * jnp.sum(devp * devp)), rtol=1e-4)
         pgref = pa * sy * sx * sampled_idct_up(devp * iq, sy, sx)
         np.testing.assert_allclose(np.asarray(pg), np.asarray(pgref),
-                                   atol=1e-5)
+                                   atol=1e-4)
     else:
         assert pg is None
