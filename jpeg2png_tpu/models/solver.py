@@ -134,6 +134,13 @@ def _build_solver_impl(
         los = [dq - 0.5 * qr for dq, qr in zip(dqs, q_rs)]
         his = [dq + 0.5 * qr for dq, qr in zip(dqs, q_rs)]
         inv_qs = [1.0 / qr for qr in q_rs]
+        data_i16_rs = [deblockify(d) for d in datas]  # int16 rasters
+        # pin the rasterized constants: without this barrier XLA's
+        # while-loop constant sinking re-materializes the tile/div
+        # broadcasts INSIDE the solve loop (~20us/iter at 512x512)
+        dqs, los, his, inv_qs, q_rs, data_i16_rs = (
+            jax.lax.optimization_barrier(
+                (dqs, los, his, inv_qs, q_rs, data_i16_rs)))
 
         # initial iterate: plain decode, nearest-upsampled to the canvas
         # with edge clamping (compute.c:296-302)
@@ -266,6 +273,38 @@ def _build_solver_impl(
                 pgrad = pgrad_region
             return fnew, pgrad, dist
 
+        def body_mega(carry, _):
+            # One Pallas kernel for the entire iteration
+            # (kernels/iter_step.py): gradient phase + projection phase
+            # with the global-norm barrier in SMEM and the prob term
+            # carried at coefficient resolution.
+            from jpeg2png_tpu.kernels.iter_step import fused_iteration
+
+            fdatas, fistas, devqs, prob_dist, t = carry
+            tnext, factor = fista_factor(t)
+
+            pa_ss = tuple(
+                p_alphas[c] * g.h_samp * g.w_samp
+                for c, g in enumerate(geoms))
+            prob_cs = [c for c in range(nchannel) if p_alphas[c] != 0.0]
+            fnews, devqs_out, tv, tv2, dists, _ = fused_iteration(
+                list(fdatas), list(fistas), list(devqs), factor,
+                step_size, data_i16_rs, q_rs,
+                pa_ss, [(g.h_samp, g.w_samp) for g in geoms], weight)
+
+            dist_next = jnp.float32(0.0)
+            for pi, c in enumerate(prob_cs):
+                d = dists[pi]
+                if not simd_compat_logging:
+                    d = p_alphas[c] * d
+                dist_next = dist_next + d
+
+            objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
+            metrics = jnp.stack([objective, prob_dist, tv, tv2])
+            carry = (tuple(fnews), fdatas, tuple(devqs_out),
+                     dist_next, tnext)
+            return carry, metrics
+
         def body_pallas(carry, _):
             # Same math with the whole iteration in Pallas: one fused
             # pass for extrapolation + TV/TGV2 gradients
@@ -329,6 +368,23 @@ def _build_solver_impl(
             return carry, metrics
 
         if use_pallas:
+            from jpeg2png_tpu.kernels import iter_step
+
+            full_canvas = all(
+                g.region_h == H and g.region_w == W for g in geoms)
+            samp_list = [(g.h_samp, g.w_samp) for g in geoms]
+            if iter_step.supports(nchannel, H, W, samp_list, full_canvas):
+                if carry_in is None:
+                    f0s = tuple(f0[c] for c in range(len(geoms)))
+                    dq0 = tuple(
+                        jnp.zeros(dqs[c].shape, f32)
+                        for c in range(len(geoms)) if p_alphas[c] != 0.0)
+                    carry_in = (f0s, f0s, dq0, jnp.float32(0.0),
+                                jnp.asarray(1.0, f32))
+                carry_out, metrics = jax.lax.scan(
+                    body_mega, carry_in, None, length=nsteps
+                )
+                return jnp.stack(carry_out[0]), metrics, carry_out
             if carry_in is None:
                 f0s = tuple(f0[c] for c in range(len(geoms)))
                 pg0 = tuple(

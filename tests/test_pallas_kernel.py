@@ -155,3 +155,93 @@ def test_fused_project_matches_ops(interpret_pallas, sy, sx, with_prob):
                                    atol=1e-4)
     else:
         assert pg is None
+
+
+@pytest.mark.parametrize("samps,prob,weight", [
+    ([(1, 1), (2, 2), (2, 2)], [True, True, True], 0.3),   # 4:2:0 joint
+    ([(1, 1)], [True], 0.3),                               # single channel
+    ([(1, 1), (2, 2), (2, 2)], [True, False, True], 0.0),  # mixed prob, TV
+])
+def test_fused_iteration_matches_ops(interpret_pallas, samps, prob, weight):
+    """One whole-iteration kernel call == extrapolate + TV/TGV2 gather +
+    prob expansion + normalized step + projection via the ops path."""
+    from jpeg2png_tpu.kernels.iter_step import fused_iteration
+    from jpeg2png_tpu.ops.dct_raster import sampled_dct, sampled_idct_up
+
+    rng = np.random.default_rng(7)
+    C = len(samps)
+    H, W = 256, 256
+    factor = jnp.float32(0.41)
+    step = jnp.float32(3.7)
+
+    fs = [jnp.asarray(rng.normal(0, 50, (H, W)).astype(np.float32))
+          for _ in range(C)]
+    fis = [jnp.asarray(rng.normal(0, 50, (H, W)).astype(np.float32))
+           for _ in range(C)]
+    los, his, dqs_all, iqs_all, devqs, pa_ss = [], [], [], [], [], []
+    datas_i16, q_rs = [], []
+    for c, (sy, sx) in enumerate(samps):
+        hc, wc = H // sy, W // sx
+        q = np.tile(rng.integers(1, 60, (8, 8)).astype(np.float32),
+                    (hc // 8, wc // 8))
+        data = np.round(rng.normal(0, 5, (hc, wc))).astype(np.float32)
+        datas_i16.append(jnp.asarray(data.astype(np.int16)))
+        q_rs.append(jnp.asarray(q))
+        dq = jnp.asarray(data * q)
+        los.append(dq - 0.5 * q)
+        his.append(dq + 0.5 * q)
+        dqs_all.append(dq)
+        iqs_all.append(jnp.asarray(1.0 / q))
+        if prob[c]:
+            devqs.append(jnp.asarray(
+                rng.normal(0, 0.1, (hc, wc)).astype(np.float32)))
+            pa_ss.append(0.36 * sy * sx)
+        else:
+            pa_ss.append(0.0)
+    prob_cs = [c for c in range(C) if prob[c]]
+
+    fnews, devqs_out, tv, tv2, dists, sumsq = fused_iteration(
+        fs, fis, devqs, factor, step, datas_i16, q_rs,
+        pa_ss, samps, weight)
+
+    # ---- ops reference ----
+    f = jnp.stack(fs)
+    fl = f + factor * (f - jnp.stack(fis))
+    tv_r, grad, gx, gy = tv_term(fl)
+    tv2_r = 0.0
+    if weight != 0.0:
+        tv2_r, g2 = tv2_term(gx, gy, weight / np.sqrt(2))
+        grad = grad + g2
+    pi = 0
+    pgrads = []
+    for c, (sy, sx) in enumerate(samps):
+        if not prob[c]:
+            pgrads.append(jnp.zeros((H, W)))
+            continue
+        pgrads.append(pa_ss[c] * sampled_idct_up(devqs[pi], sy, sx))
+        pi += 1
+    grad = grad + jnp.stack(pgrads)
+    norms = jnp.sqrt(jnp.sum(grad * grad, axis=(1, 2)))
+    scale = jnp.where(norms == 0.0, 0.0, step / norms)
+    fmid = fl - grad * scale[:, None, None]
+    pi = 0
+    for c, (sy, sx) in enumerate(samps):
+        coefs = sampled_dct(fmid[c], sy, sx)
+        cl = jnp.clip(coefs, los[c], his[c])
+        fref = fmid[c] + sy * sx * sampled_idct_up(cl - coefs, sy, sx)
+        np.testing.assert_allclose(np.asarray(fnews[c]), np.asarray(fref),
+                                   atol=3e-2)
+        if prob[c]:
+            devp = (cl - dqs_all[c]) * iqs_all[c]
+            np.testing.assert_allclose(
+                float(dists[pi]), float(0.5 * jnp.sum(devp * devp)),
+                rtol=2e-3)
+            np.testing.assert_allclose(
+                np.asarray(devqs_out[pi]), np.asarray(devp * iqs_all[c]),
+                atol=1e-3)
+            pi += 1
+    assert abs(float(tv) - float(tv_r)) / float(tv_r) < 1e-4
+    if weight != 0.0:
+        assert abs(float(tv2) - float(tv2_r)) / float(tv2_r) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(sumsq), np.asarray(norms) ** 2, rtol=1e-3)
