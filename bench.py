@@ -48,15 +48,22 @@ def main():
     samps = [(p.h_samp, p.w_samp) for p in img.planes]
     mp = (512 * 512) / 1e6
 
-    n1, n2 = (50, 150) if args.quick else (1000, 3000)
+    n1, n2 = (200, 1200) if args.quick else (1000, 3000)
+    reps = 3 if args.quick else 5
 
     def timed(iters):
+        # min over repetitions: the remote-TPU tunnel adds multi-ms
+        # jitter per call, and the marginal method amplifies it
+        best = float("inf")
         fd, m = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, iters)
-        np.asarray(m[-1])  # sync via a tiny transfer
-        t0 = time.time()
-        fd, m = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, iters)
-        np.asarray(m[-1])
-        return time.time() - t0
+        np.asarray(m[-1])  # warm compile + sync via a tiny transfer
+        for _ in range(reps):
+            t0 = time.time()
+            fd, m = solve_joint(datas, quants, samps, 0.3,
+                                [0.001] * 3, iters)
+            np.asarray(m[-1])
+            best = min(best, time.time() - t0)
+        return best
 
     t1 = timed(n1)
     if args.wall:
