@@ -393,8 +393,9 @@ def supports(C: int, H: int, W: int, samps, geoms_full_canvas: bool) -> bool:
     for sy, sx in samps:
         if SH % (8 * sy) or W % sx:
             return False
-        wc = W // sx
-        if wc % 128 and wc > 256:
+        # coef-space column tiles are lane slices of VMEM scratch, which
+        # Mosaic requires to be 128-lane aligned (project_step.supports)
+        if (W // sx) % 128:
             return False
     return True
 

@@ -241,6 +241,12 @@ def _pick_stripe(h: int, w: int, sy: int) -> int:
 def supports(H: int, W: int, sy: int, sx: int) -> bool:
     if H % 8 or W % 128 or W > 2048:
         return False
+    # coef-space column tiles are lane slices of VMEM scratch, which
+    # Mosaic requires to be 128-lane aligned — a coef width that is not
+    # a multiple of 128 (e.g. chroma of a 128-wide 4:2:0 image) would
+    # emit an unsupported memref_slice; those channels use the XLA path
+    if (W // sx) % 128:
+        return False
     return _pick_stripe(H, W, sy) != 0
 
 

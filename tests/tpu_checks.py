@@ -1,0 +1,104 @@
+"""Compiled-on-real-TPU checks for the Pallas kernels and fast paths.
+
+The pytest suite runs the kernels through the Pallas interpreter on CPU
+(tests/test_pallas_kernel.py); this module runs the same comparisons
+COMPILED on whatever accelerator `jax.devices()` provides, plus
+end-to-end solver and batched-runner agreement between the Pallas and
+XLA paths.  Run with:
+
+    python -m tests.tpu_checks
+
+Exits nonzero on the first failure.  Expected tolerances are sized for
+the kernels' bf16x3 matmuls (see kernels/project_step.py): solver-state
+agreement after 50 iterations is typically >70 dB; the gate here is a
+conservative 55 dB (uint8 output is bit-identical or off by at most 1
+at exact rounding ties well above that).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import jax
+import numpy as np
+
+FIXDIR = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _psnr(a, b):
+    mse = float(((np.asarray(a, np.float64)
+                  - np.asarray(b, np.float64)) ** 2).mean())
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def check(name, cond, detail=""):
+    status = "ok" if cond else "FAIL"
+    print(f"[{status}] {name} {detail}")
+    if not cond:
+        sys.exit(f"tpu_checks: {name} failed: {detail}")
+
+
+def main():
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    from jpeg2png_tpu.io import read_jpeg
+    from jpeg2png_tpu.models.solver import solve_joint
+
+    img = read_jpeg(FIXDIR / "photo512_q10_420.jpg")
+    datas = [p.data for p in img.planes]
+    quants = [p.quant for p in img.planes]
+    samps = [(p.h_samp, p.w_samp) for p in img.planes]
+
+    # --- solver: Pallas fused path vs XLA path, 50 iterations ---
+    fd_p, m_p = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 50,
+                            use_pallas=True)
+    fd_x, m_x = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 50,
+                            use_pallas=False)
+    psnr = _psnr(fd_p, fd_x)
+    check("solve_joint pallas-vs-xla 50 iters", psnr > 55,
+          f"psnr={psnr:.2f} dB")
+    # The TV subgradient divides by the joint gradient norm, which is
+    # ~0 in flat regions — the subgradient is DISCONTINUOUS there, so
+    # any numeric difference (even 1 ulp) flips unit vectors and the
+    # trajectories diverge chaotically after ~2 iterations.  This is
+    # intrinsic to the method: the reference needed bit-exact SIMD
+    # accumulation order to avoid it (compute_simd_step.c:103-105), and
+    # SURVEY.md mandates PSNR-level equivalence, not trace equivalence.
+    # Gate on the pre-chaos iterations and on convergence-level values.
+    m_p, m_x = np.asarray(m_p), np.asarray(m_x)
+    rel2 = (np.abs(m_p[:2, 0] - m_x[:2, 0])
+            / np.maximum(np.abs(m_x[:2, 0]), 1))
+    check("objective traces agree (pre-chaos iters)",
+          float(rel2.max()) < 1e-4, f"max rel dev={rel2.max():.2e}")
+    rel_min = (abs(m_p[:, 0].min() - m_x[:, 0].min())
+               / max(abs(m_x[:, 0].min()), 1))
+    check("objective minima agree", float(rel_min) < 3e-2,
+          f"rel dev={rel_min:.2e}")
+
+    # --- small-geometry fallback paths still agree ---
+    img2 = read_jpeg(FIXDIR / "lineart128_q10_420.jpg")
+    d2 = [p.data for p in img2.planes]
+    q2 = [p.quant for p in img2.planes]
+    s2 = [(p.h_samp, p.w_samp) for p in img2.planes]
+    fp, _ = solve_joint(d2, q2, s2, 0.3, [0.001] * 3, 20, use_pallas=True)
+    fx, _ = solve_joint(d2, q2, s2, 0.3, [0.001] * 3, 20, use_pallas=False)
+    psnr = _psnr(fp, fx)
+    check("128px geometry pallas-vs-xla", psnr > 55, f"psnr={psnr:.2f} dB")
+
+    # --- batched runner: lax.map Pallas path vs vmapped XLA path ---
+    from jpeg2png_tpu.runner import solve_batched
+
+    rb_p = solve_batched([datas] * 2, [quants] * 2, samps, 0.3,
+                         [0.001] * 3, 10, use_pallas=True)
+    rb_x = solve_batched([datas] * 2, [quants] * 2, samps, 0.3,
+                         [0.001] * 3, 10, use_pallas=False)
+    psnr = _psnr(rb_p.fdata, rb_x.fdata)
+    check("solve_batched pallas-vs-xla", psnr > 55, f"psnr={psnr:.2f} dB")
+    check("batch members identical inputs -> identical outputs",
+          np.array_equal(rb_p.fdata[0], rb_p.fdata[1]))
+
+    print("all tpu checks passed")
+
+
+if __name__ == "__main__":
+    main()
