@@ -47,19 +47,28 @@ def assert_metrics_close(ours, golden, rtol=6e-3):
     np.testing.assert_allclose(ours[:, 1], golden[:, 1], rtol=5e-2, atol=1e-3)
 
 
-@pytest.mark.parametrize("name", [
-    "lineart64_q20_420",        # 4:2:0, the bread-and-butter case
-    "lineart64_q50_444",        # 4:4:4 (no resample path)
-    "photo80_q30_422",          # 4:2:2 (anisotropic sampling)
-    "odd100x52_q25_420",        # luma region smaller than chroma canvas
+@pytest.mark.parametrize("name,trace_iters", [
+    ("lineart64_q20_420", 5),    # 4:2:0, the bread-and-butter case
+    ("lineart64_q50_444", 5),    # 4:4:4 (no resample path)
+    ("photo80_q30_422", 5),      # 4:2:2 (anisotropic sampling)
+    ("odd100x52_q25_420", 5),    # luma region smaller than chroma canvas
+    # the benchmark image (fused-kernel tier geometry; runs the XLA path
+    # on CPU CI).  Its flat photo regions make the TV subgradient
+    # discontinuous (division by a ~0 joint norm), so x86-C vs f32-XLA
+    # trajectories diverge chaotically from iteration 2 — the reference
+    # itself needs bit-exact SIMD accumulation order to avoid this
+    # (compute_simd_step.c:103-105).  Gate the trace pre-chaos only;
+    # the PNG PSNR gate below still covers the full 5 iterations.
+    ("photo512_q10_420", 2),
 ])
-def test_joint_i5_matches_reference(name, fixtures_dir):
+def test_joint_i5_matches_reference(name, trace_iters, fixtures_dir):
     img = read_jpeg(fixtures_dir / f"{name}.jpg")
     cfg = SolverConfig(iterations=(5,) * 3)
     result = smooth_decode(img, cfg)
 
     golden = load_golden_csv(fixtures_dir / "golden" / f"{name}_i5.csv")
-    assert_metrics_close(result.metrics_per_channel[3], golden[3])
+    assert_metrics_close(result.metrics_per_channel[3][:trace_iters],
+                         golden[3][:trace_iters])
 
     gold_png = np.asarray(Image.open(fixtures_dir / "golden" / f"{name}_i5.png"))
     p = psnr(result.pixels, gold_png)

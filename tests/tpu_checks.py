@@ -85,6 +85,24 @@ def main():
     psnr = _psnr(fp, fx)
     check("128px geometry pallas-vs-xla", psnr > 55, f"psnr={psnr:.2f} dB")
 
+    # --- fused path vs the reference C binary's golden output ---
+    gold = FIXDIR / "golden" / "photo512_q10_420_i50.png"
+    if gold.exists():
+        from jpeg2png_tpu.ops.color import ycbcr_to_rgb_packed
+        from tests.pngdec import decode_png
+        import jax.numpy as jnp
+
+        fd = np.asarray(fd_p)
+        h, w = img.height, img.width
+        pix = np.asarray(ycbcr_to_rgb_packed(
+            jnp.asarray(fd[0, :h, :w] + 128.0),
+            jnp.asarray(fd[1, :h, :w]),
+            jnp.asarray(fd[2, :h, :w]), 8))
+        gold_px = decode_png(gold.read_bytes())
+        psnr = _psnr(pix, gold_px)
+        check("fused path vs reference binary (i50)", psnr > 45,
+              f"psnr={psnr:.2f} dB")
+
     # --- batched runner: lax.map Pallas path vs vmapped XLA path ---
     from jpeg2png_tpu.runner import solve_batched
 
