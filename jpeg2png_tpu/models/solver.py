@@ -273,36 +273,44 @@ def _build_solver_impl(
                 pgrad = pgrad_region
             return fnew, pgrad, dist
 
-        def body_mega(carry, _):
-            # One Pallas kernel for the entire iteration
-            # (kernels/iter_step.py): gradient phase + projection phase
-            # with the global-norm barrier in SMEM and the prob term
-            # carried at coefficient resolution.
-            from jpeg2png_tpu.kernels.iter_step import fused_iteration
+        def solve_mega(carry):
+            # ONE Pallas kernel for ALL nsteps iterations
+            # (kernels/iter_step.py): the entire solver state stays in
+            # VMEM across iterations; per iteration a gradient phase and
+            # a projection phase with the global-norm barrier in SMEM.
+            # No lax.scan, no per-iteration launches, zero per-iteration
+            # HBM traffic.
+            from jpeg2png_tpu.kernels import iter_step
 
             fdatas, fistas, devqs, prob_dist, t = carry
-            tnext, factor = fista_factor(t)
 
             pa_ss = tuple(
                 p_alphas[c] * g.h_samp * g.w_samp
                 for c, g in enumerate(geoms))
             prob_cs = [c for c in range(nchannel) if p_alphas[c] != 0.0]
-            fnews, devqs_out, tv, tv2, dists, _ = fused_iteration(
-                list(fdatas), list(fistas), list(devqs), factor,
+            factors, t_final = iter_step.fista_factors(t, nsteps)
+            fnews, fistas_out, devqs_out, partials = iter_step.fused_solve(
+                list(fdatas), list(fistas), list(devqs), factors,
                 step_size, data_i16_rs, q_rs,
                 pa_ss, [(g.h_samp, g.w_samp) for g in geoms], weight)
 
-            dist_next = jnp.float32(0.0)
+            # partials columns: sumsq_0..C-1, tv, tv2, dist_p0, ...
+            tv = partials[:, nchannel]
+            tv2 = partials[:, nchannel + 1]
+            dist_total = jnp.zeros((nsteps,), jnp.float32)
             for pi, c in enumerate(prob_cs):
-                d = dists[pi]
+                d = partials[:, nchannel + 2 + pi]
                 if not simd_compat_logging:
                     d = p_alphas[c] * d
-                dist_next = dist_next + d
-
-            objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
-            metrics = jnp.stack([objective, prob_dist, tv, tv2])
-            carry = (tuple(fnews), fdatas, tuple(devqs_out),
-                     dist_next, tnext)
+                dist_total = dist_total + d
+            # the reference logs the prob distance computed from the
+            # PREVIOUS projection's clamped coefs (compute.c:381, :37)
+            prob_col = jnp.concatenate(
+                [jnp.reshape(prob_dist, (1,)), dist_total[:-1]])
+            objective = (tv + tv2 + prob_col) / jnp.float32(total_alpha)
+            metrics = jnp.stack([objective, prob_col, tv, tv2], axis=1)
+            carry = (tuple(fnews), tuple(fistas_out), tuple(devqs_out),
+                     dist_total[-1], t_final)
             return carry, metrics
 
         def body_pallas(carry, _):
@@ -381,9 +389,7 @@ def _build_solver_impl(
                         for c in range(len(geoms)) if p_alphas[c] != 0.0)
                     carry_in = (f0s, f0s, dq0, jnp.float32(0.0),
                                 jnp.asarray(1.0, f32))
-                carry_out, metrics = jax.lax.scan(
-                    body_mega, carry_in, None, length=nsteps
-                )
+                carry_out, metrics = solve_mega(carry_in)
                 return jnp.stack(carry_out[0]), metrics, carry_out
             if carry_in is None:
                 f0s = tuple(f0[c] for c in range(len(geoms)))
