@@ -76,8 +76,8 @@ _F32 = jnp.float32
 def _kernel(
     factors_ref,           # scalar-prefetch [nsteps] FISTA factors
     *refs,
-    C, P, H, W, weight, prob_mask, samps, p_alpha_sss, TCs, NS, step,
-    nsteps,
+    C, P, H, W, H_true, W_true, weight, prob_mask, samps, p_alpha_sss,
+    TCs, NS, step, nsteps,
 ):
     """refs layout (inputs, then outputs, then scratch):
 
@@ -195,7 +195,7 @@ def _kernel(
             def sh_y(a, d):
                 if (d > 0 and not top) or (d < 0 and not bot):
                     return _roll(a, d, 0)
-                return _shift_y(a, d, rows, H)
+                return _shift_y(a, d, rows, H_true)
 
             fl = [None] * C
             gx = [None] * C
@@ -203,10 +203,11 @@ def _kernel(
             for c in range(C):
                 f = f_can[c, pl.ds(start, T), :]
                 fl[c] = f + factor * (f - fi_can[c, pl.ds(start, T), :])
-                gx[c] = jnp.where(cols < W - 1,
+                gx[c] = jnp.where(cols < W_true - 1,
                                   _roll(fl[c], -1, 1) - fl[c], 0.0)
                 dy = _roll(fl[c], -1, 0) - fl[c]
-                gy[c] = jnp.where(rows < H - 1, dy, 0.0) if bot else dy
+                gy[c] = (jnp.where(rows < H_true - 1, dy, 0.0)
+                         if bot else dy)
 
             gsq = gx[0] * gx[0] + gy[0] * gy[0]
             for c in range(1, C):
@@ -233,11 +234,22 @@ def _kernel(
                                         gx[c] - _shift_x(gx[c], 1), 0.0)
                     g_yx = jnp.where(cols >= 1,
                                      gy[c] - _shift_x(gy[c], 1), 0.0)
+                    if W_true < W:
+                        # canvas padding: the x-diff of gy at pad col
+                        # W_true is a spurious -gy[W_true-1]; the
+                        # straight diffs are already zero there because
+                        # gx/gy themselves are edge-masked
+                        g_yx = jnp.where(cols < W_true, g_yx, 0.0)
                     dxy = gx[c] - sh_y(gx[c], 1)
                     dyy = gy[c] - sh_y(gy[c], 1)
                     if top:
                         dxy = jnp.where(rows >= 1, dxy, 0.0)
                         dyy = jnp.where(rows >= 1, dyy, 0.0)
+                    if bot and H_true < H:
+                        # same in y: the y-diff of gx at pad row H_true
+                        # is a spurious -gx[H_true-1]
+                        dxy = jnp.where(rows < H_true, dxy, 0.0)
+                        dyy = jnp.where(rows < H_true, dyy, 0.0)
                     g_xy = dxy
                     g_yy[c] = dyy
                     sym[c] = (g_xy + g_yx) * 0.5
@@ -283,19 +295,28 @@ def _kernel(
                 g_can[c, pl.ds(r0, SH), :] = g_own
                 acc[c] = acc[c] + jnp.sum(g_own * g_own)
 
-        @pl.when(k == 0)
-        def _():
-            stencil_emit(True, NS == 1, 0)
+        # group stripes by static (top, bottom-edge, own-row-offset)
+        # config.  A stripe needs the bottom-edge masks whenever its
+        # halo WINDOW contains the true image's last row — not only
+        # when its own rows do: when the image height is stripe-aligned
+        # and the canvas is padded, the first all-padding stripe's halo
+        # reaches back into real data, and without masks its stencil
+        # would manufacture spurious diffs across the pad boundary.
+        configs = {}
+        for kk in range(NS):
+            off = 0 if kk == 0 else (16 if kk == NS - 1 else 8)
+            start_kk = min(max(kk * SH - 8, 0), H - T)
+            bot_kk = start_kk <= H_true - 1 < start_kk + T
+            key = (kk == 0, bot_kk, off)
+            configs.setdefault(key, []).append(kk)
+        for (top, bot, off), ks in configs.items():
+            pred = (k == ks[0])
+            for kk in ks[1:]:
+                pred = pred | (k == kk)
 
-        if NS > 2:
-            @pl.when((k > 0) & (k < NS - 1))
-            def _():
-                stencil_emit(False, False, 8)
-
-        if NS > 1:
-            @pl.when(k == NS - 1)
-            def _():
-                stencil_emit(False, True, 16)
+            @pl.when(pred)
+            def _(top=top, bot=bot, off=off):
+                stencil_emit(top, bot, off)
 
     # =================== PHASE 1: projection stripes ===================
     @pl.when(k >= NS)
@@ -350,7 +371,10 @@ def _kernel(
 
             if prob_mask[c]:
                 pi = prob_idx[c]
-                iq = 1.0 / q
+                # q == 0 marks canvas padding (real tables reject zeros,
+                # jpeg.c:42); its boxes are lo == hi == 0 and it must
+                # contribute nothing to the prob term
+                iq = jnp.where(q > 0.0, 1.0 / q, 0.0)
                 devp = (clamped - dq) * iq
                 acc[C + 2 + pi] = acc[C + 2 + pi] + 0.5 * jnp.sum(
                     devp * devp)
@@ -393,23 +417,38 @@ def _tcs(W: int, samps) -> tuple:
     return tuple(out)
 
 
+def _pad_shape(H: int, W: int, samps):
+    """Padded canvas (H_pad, W_pad): the canvas is zero-padded so all
+    stripes/tiles are 128-aligned; padded coefficients carry quant 0,
+    whose lo == hi == 0 boxes freeze the padded pixels at exactly 0
+    (they start 0, get 0 gradient — edge masks sever the coupling at
+    the true image border — and re-project to 0)."""
+    max_sx = max(sx for _, sx in samps)
+    wq = 128 * max_sx
+    W_pad = -(-W // wq) * wq
+    H_pad = -(-H // SH) * SH
+    if H_pad < SH + 16:
+        H_pad += SH
+    return H_pad, W_pad
+
+
 def supports(C: int, H: int, W: int, samps, geoms_full_canvas: bool) -> bool:
-    """Geometry gate for the fused-solve kernel."""
+    """Geometry gate for the fused-solve kernel (H, W = TRUE canvas)."""
     if not geoms_full_canvas or C + 2 + C > 8:
         return False
-    if H % SH or W % 128 or H < SH + 16:
-        return False
-    # the three whole-solve canvases + stencil temporaries must leave
-    # headroom in VMEM (~100 MB usable on v5e)
-    if 3 * 4 * C * H * W > 80 * 1024 * 1024:
+    if H % 8 or W % 8:
         return False
     for sy, sx in samps:
-        if SH % (8 * sy) or W % sx:
+        if SH % (8 * sy) or W % sx or H % sy:
             return False
-        # coef-space column tiles are lane slices of VMEM scratch, which
-        # Mosaic requires to be 128-lane aligned (project_step.supports)
-        if (W // sx) % 128:
-            return False
+    H_pad, W_pad = _pad_shape(H, W, samps)
+    # the three whole-solve canvases + stencil temporaries must leave
+    # headroom in VMEM (~100 MB usable on v5e)
+    if 3 * 4 * C * H_pad * W_pad > 80 * 1024 * 1024:
+        return False
+    # tiny images: padding waste makes the XLA path competitive anyway
+    if H_pad * W_pad > 4 * H * W:
+        return False
     return True
 
 
@@ -437,28 +476,43 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
         [sumsq_0..C-1, tv, tv2, dist_p0, dist_p1, ...] per iteration.
     """
     C = len(f0s)
-    H, W = f0s[0].shape
-    assert H % SH == 0 and H >= SH + 16, (H, SH)
+    H_true, W_true = f0s[0].shape
+    H, W = _pad_shape(H_true, W_true, samps)
     prob_mask = tuple(pa != 0.0 for pa in p_alpha_sss)
     P = sum(prob_mask)
     NS = H // SH
     TCs = _tcs(W, samps)
     nsteps = factors.shape[0]
 
+    def pad_to(x, h, w):
+        ph, pw = h - x.shape[0], w - x.shape[1]
+        return x if ph == 0 and pw == 0 else jnp.pad(x, ((0, ph), (0, pw)))
+
+    coef_true_shapes = [d.shape for d in datas_i16]
+    if (H, W) != (H_true, W_true):
+        f0s = [pad_to(f, H, W) for f in f0s]
+        fista0s = [pad_to(f, H, W) for f in fista0s]
+        padded_coef = [(H // sy, W // sx) for sy, sx in samps]
+        datas_i16 = [pad_to(d, *padded_coef[c])
+                     for c, d in enumerate(datas_i16)]
+        q_rs = [pad_to(q, *padded_coef[c]) for c, q in enumerate(q_rs)]
+        prob_cs = [c for c in range(C) if prob_mask[c]]
+        devq0s = [pad_to(d, *padded_coef[prob_cs[pi]])
+                  for pi, d in enumerate(devq0s)]
+
     uniq = list(dict.fromkeys(samps))
     n_samp = len(uniq)
     ab_consts = []
     ab_shapes = []
     for (sy, sx) in uniq:
-        wc = W // sx
-        tc = 128 if wc % 128 == 0 else wc
-        ah, al_, bh, bl_ = _ab_tiles(SH, sy, tc, sx)
+        ah, al_, bh, bl_ = _ab_tiles(SH, sy, 128, sx)
         for m in (ah, al_, bh, bl_):
             ab_consts.append(jnp.asarray(m))
             ab_shapes.append(m.shape)
 
     kernel = functools.partial(
-        _kernel, C=C, P=P, H=H, W=W, weight=float(weight),
+        _kernel, C=C, P=P, H=H, W=W, H_true=int(H_true),
+        W_true=int(W_true), weight=float(weight),
         prob_mask=prob_mask, samps=tuple(samps),
         p_alpha_sss=tuple(float(p) for p in p_alpha_sss),
         TCs=TCs, NS=NS, step=float(step_size), nsteps=int(nsteps))
@@ -520,6 +574,16 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
     fistas = list(outs[C:2 * C])
     devqs_out = list(outs[2 * C:2 * C + P])
     partials = outs[2 * C + P][:, :, 0]        # [nsteps, 8]
+
+    if (H, W) != (H_true, W_true):
+        # crop the zero padding back off (it stayed exactly 0)
+        fdatas = [f[:H_true, :W_true] for f in fdatas]
+        fistas = [f[:H_true, :W_true] for f in fistas]
+        prob_cs = [c for c in range(C) if prob_mask[c]]
+        devqs_out = [
+            d[:coef_true_shapes[prob_cs[pi]][0],
+              :coef_true_shapes[prob_cs[pi]][1]]
+            for pi, d in enumerate(devqs_out)]
     return fdatas, fistas, devqs_out, partials
 
 

@@ -285,7 +285,7 @@ def _build_solver_impl(
                 pgrad = pgrad_region
             return fnew, pgrad, dist
 
-        def solve_mega(carry, fresh):
+        def solve_mega(carry, fresh, data_arr, q_arr):
             # ONE Pallas kernel for ALL nsteps iterations
             # (kernels/iter_step.py): the entire solver state stays in
             # VMEM across iterations; per iteration a gradient phase and
@@ -311,7 +311,7 @@ def _build_solver_impl(
                 factors, t_final = iter_step.fista_factors(t, nsteps)
             fnews, fistas_out, devqs_out, partials = iter_step.fused_solve(
                 list(fdatas), list(fistas), list(devqs), factors,
-                step_size, data_i16_rs, q_rs,
+                step_size, data_arr, q_arr,
                 pa_ss, [(g.h_samp, g.w_samp) for g in geoms], weight)
 
             # partials columns: sumsq_0..C-1, tv, tv2, dist_p0, ...
@@ -397,32 +397,54 @@ def _build_solver_impl(
 
         if use_pallas:
             from jpeg2png_tpu.kernels import iter_step
+            from jpeg2png_tpu.kernels.grad_step import (
+                supports as _grad_supports)
 
-            full_canvas = all(
-                g.region_h == H and g.region_w == W for g in geoms)
             samp_list = [(g.h_samp, g.w_samp) for g in geoms]
-            if iter_step.supports(nchannel, H, W, samp_list, full_canvas):
+            if iter_step.supports(nchannel, H, W, samp_list, True):
+                # channels whose region is smaller than the canvas (the
+                # odd-size luma case, compute.c:349-403 loop bounds):
+                # pad their coef arrays to canvas-coef shape with a huge
+                # FREE sentinel quant — the box clamp becomes a no-op
+                # and the prob term underflows to exactly zero, so those
+                # canvas pixels evolve unconstrained like the reference.
+                FREE_Q = jnp.float32(2.0 ** 40)
+                data_arr, q_arr, dq0_shapes = [], [], []
+                for c, g in enumerate(geoms):
+                    shp = (H // g.h_samp, W // g.w_samp)
+                    d, qq = data_i16_rs[c], q_rs[c]
+                    if d.shape != shp:
+                        pad = ((0, shp[0] - d.shape[0]),
+                               (0, shp[1] - d.shape[1]))
+                        d = jnp.pad(d, pad)
+                        qq = jnp.pad(qq, pad, constant_values=FREE_Q)
+                    data_arr.append(d)
+                    q_arr.append(qq)
+                    dq0_shapes.append(shp)
                 fresh = carry_in is None
                 if fresh:
                     f0s = tuple(f0[c] for c in range(len(geoms)))
                     dq0 = tuple(
-                        jnp.zeros(dqs[c].shape, f32)
+                        jnp.zeros(dq0_shapes[c], f32)
                         for c in range(len(geoms)) if p_alphas[c] != 0.0)
                     carry_in = (f0s, f0s, dq0, jnp.float32(0.0),
                                 jnp.asarray(1.0, f32))
-                carry_out, metrics = solve_mega(carry_in, fresh)
+                carry_out, metrics = solve_mega(
+                    carry_in, fresh, data_arr, q_arr)
                 return jnp.stack(carry_out[0]), metrics, carry_out
-            if carry_in is None:
-                f0s = tuple(f0[c] for c in range(len(geoms)))
-                pg0 = tuple(
-                    jnp.zeros((H, W), f32) for c in range(len(geoms))
-                    if p_alphas[c] != 0.0)
-                carry_in = (f0s, f0s, pg0, jnp.float32(0.0),
-                            jnp.asarray(1.0, f32))
-            carry_out, metrics = jax.lax.scan(
-                body_pallas, carry_in, None, length=nsteps
-            )
-            return jnp.stack(carry_out[0]), metrics, carry_out
+            if _grad_supports(nchannel, H, W):
+                if carry_in is None:
+                    f0s = tuple(f0[c] for c in range(len(geoms)))
+                    pg0 = tuple(
+                        jnp.zeros((H, W), f32) for c in range(len(geoms))
+                        if p_alphas[c] != 0.0)
+                    carry_in = (f0s, f0s, pg0, jnp.float32(0.0),
+                                jnp.asarray(1.0, f32))
+                carry_out, metrics = jax.lax.scan(
+                    body_pallas, carry_in, None, length=nsteps
+                )
+                return jnp.stack(carry_out[0]), metrics, carry_out
+            # geometry not expressible in the Pallas kernels: XLA path
 
         if carry_in is None:
             # cos seeded with data*quant (compute.c:279-286) => the prob
@@ -462,10 +484,12 @@ def _pallas_default(geoms: Tuple[ChannelGeometry, ...]) -> bool:
     """Use the fused Pallas path on TPU when the geometry supports it."""
     if jax.default_backend() != "tpu":
         return False
-    from jpeg2png_tpu.kernels.grad_step import supports
+    from jpeg2png_tpu.kernels import grad_step, iter_step
 
     H, W = canvas_shape(geoms)
-    return supports(len(geoms), H, W)
+    samps = [(g.h_samp, g.w_samp) for g in geoms]
+    return (iter_step.supports(len(geoms), H, W, samps, True)
+            or grad_step.supports(len(geoms), H, W))
 
 
 def solve_joint(

@@ -157,12 +157,20 @@ def test_fused_project_matches_ops(interpret_pallas, sy, sx, with_prob):
         assert pg is None
 
 
-@pytest.mark.parametrize("samps,prob,weight", [
-    ([(1, 1), (2, 2), (2, 2)], [True, True, True], 0.3),   # 4:2:0 joint
-    ([(1, 1)], [True], 0.3),                               # single channel
-    ([(1, 1), (2, 2), (2, 2)], [True, False, True], 0.0),  # mixed prob, TV
+@pytest.mark.parametrize("samps,prob,weight,H,W", [
+    ([(1, 1), (2, 2), (2, 2)], [True, True, True], 0.3, 256, 256),  # 4:2:0
+    ([(1, 1)], [True], 0.3, 256, 256),                   # single channel
+    ([(1, 1), (2, 2), (2, 2)], [True, False, True], 0.0, 256, 256),
+    # non-128-aligned canvas: exercises the zero-padding path (padded
+    # to 256x512) including the cross-derivative boundary masks
+    ([(1, 1), (2, 2), (2, 2)], [True, True, True], 0.3, 208, 272),
+    # stripe-aligned height + row padding: the first all-padding
+    # stripe's halo reaches back into real data (regression test for
+    # the window-based bottom-edge mask selection)
+    ([(1, 1), (2, 2), (2, 2)], [True, True, True], 0.3, 128, 128),
 ])
-def test_fused_iteration_matches_ops(interpret_pallas, samps, prob, weight):
+def test_fused_iteration_matches_ops(interpret_pallas, samps, prob, weight,
+                                     H, W):
     """One whole-iteration kernel call == extrapolate + TV/TGV2 gather +
     prob expansion + normalized step + projection via the ops path."""
     from jpeg2png_tpu.kernels.iter_step import fused_iteration
@@ -170,7 +178,6 @@ def test_fused_iteration_matches_ops(interpret_pallas, samps, prob, weight):
 
     rng = np.random.default_rng(7)
     C = len(samps)
-    H, W = 256, 256
     factor = jnp.float32(0.41)
     step = jnp.float32(3.7)
 

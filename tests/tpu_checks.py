@@ -75,6 +75,33 @@ def main():
     check("objective minima agree", float(rel_min) < 3e-2,
           f"rel dev={rel_min:.2e}")
 
+    # --- non-128-aligned real image: padded mega-kernel path ---
+    img3 = read_jpeg(FIXDIR / "photo600x400_q20_420.jpg")
+    d3 = [p.data for p in img3.planes]
+    q3 = [p.quant for p in img3.planes]
+    s3 = [(p.h_samp, p.w_samp) for p in img3.planes]
+    fp3, _ = solve_joint(d3, q3, s3, 0.3, [0.001] * 3, 50, use_pallas=True)
+    fx3, _ = solve_joint(d3, q3, s3, 0.3, [0.001] * 3, 50,
+                         use_pallas=False)
+    psnr = _psnr(fp3, fx3)
+    check("600x400 (padded canvas + free luma gap) pallas-vs-xla",
+          psnr > 55, f"psnr={psnr:.2f} dB")
+    gold3 = FIXDIR / "golden" / "photo600x400_q20_420_i50.png"
+    if gold3.exists():
+        from jpeg2png_tpu.ops.color import ycbcr_to_rgb_packed
+        from tests.pngdec import decode_png
+        import jax.numpy as jnp
+
+        fd3 = np.asarray(fp3)
+        h, w = img3.height, img3.width
+        pix3 = np.asarray(ycbcr_to_rgb_packed(
+            jnp.asarray(fd3[0, :h, :w] + 128.0),
+            jnp.asarray(fd3[1, :h, :w]),
+            jnp.asarray(fd3[2, :h, :w]), 8))
+        psnr = _psnr(pix3, decode_png(gold3.read_bytes()))
+        check("600x400 padded path vs reference binary (i50)", psnr > 45,
+              f"psnr={psnr:.2f} dB")
+
     # --- small-geometry fallback paths still agree ---
     img2 = read_jpeg(FIXDIR / "lineart128_q10_420.jpg")
     d2 = [p.data for p in img2.planes]
