@@ -102,6 +102,34 @@ def main():
         check("600x400 padded path vs reference binary (i50)", psnr > 45,
               f"psnr={psnr:.2f} dB")
 
+    # --- 4:2:2 and 4:4:4 through the fused path vs reference goldens ---
+    for name in ("art440x320_q30_422", "art440x320_q85_444"):
+        imgX = read_jpeg(FIXDIR / f"{name}.jpg")
+        dX = [p.data for p in imgX.planes]
+        qX = [p.quant for p in imgX.planes]
+        sX = [(p.h_samp, p.w_samp) for p in imgX.planes]
+        fpX, _ = solve_joint(dX, qX, sX, 0.3, [0.001] * 3, 50,
+                             use_pallas=True)
+        fxX, _ = solve_joint(dX, qX, sX, 0.3, [0.001] * 3, 50,
+                             use_pallas=False)
+        psnr = _psnr(fpX, fxX)
+        check(f"{name} pallas-vs-xla", psnr > 55, f"psnr={psnr:.2f} dB")
+        goldX = FIXDIR / "golden" / f"{name}_i50.png"
+        if goldX.exists():
+            from jpeg2png_tpu.ops.color import ycbcr_to_rgb_packed
+            from tests.pngdec import decode_png
+            import jax.numpy as jnp
+
+            fdX = np.asarray(fpX)
+            h, w = imgX.height, imgX.width
+            pixX = np.asarray(ycbcr_to_rgb_packed(
+                jnp.asarray(fdX[0, :h, :w] + 128.0),
+                jnp.asarray(fdX[1, :h, :w]),
+                jnp.asarray(fdX[2, :h, :w]), 8))
+            psnr = _psnr(pixX, decode_png(goldX.read_bytes()))
+            check(f"{name} vs reference binary (i50)", psnr > 45,
+                  f"psnr={psnr:.2f} dB")
+
     # --- small-geometry fallback paths still agree ---
     img2 = read_jpeg(FIXDIR / "lineart128_q10_420.jpg")
     d2 = [p.data for p in img2.planes]
