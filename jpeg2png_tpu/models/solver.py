@@ -429,6 +429,10 @@ def _build_solver_impl(
                         for c in range(len(geoms)) if p_alphas[c] != 0.0)
                     carry_in = (f0s, f0s, dq0, jnp.float32(0.0),
                                 jnp.asarray(1.0, f32))
+                if nsteps == 0:
+                    # state-initialization call (checkpoint/resume)
+                    return (jnp.stack(carry_in[0]),
+                            jnp.zeros((0, 4), jnp.float32), carry_in)
                 carry_out, metrics = solve_mega(
                     carry_in, fresh, data_arr, q_arr)
                 return jnp.stack(carry_out[0]), metrics, carry_out

@@ -158,6 +158,24 @@ def main():
         check("fused path vs reference binary (i50)", psnr > 45,
               f"psnr={psnr:.2f} dB")
 
+    # --- checkpoint/resume through the fused path ---
+    import shutil
+    import tempfile
+
+    from jpeg2png_tpu.models.checkpoint import solve_checkpointed
+
+    ckdir = tempfile.mkdtemp(prefix="tpu_ck_")
+    try:
+        r1 = solve_checkpointed(d3, q3, s3, 0.3, [0.001] * 3, 40,
+                                ckdir + "/state.ckpt",
+                                checkpoint_every=15)
+        full40, _ = solve_joint(d3, q3, s3, 0.3, [0.001] * 3, 40)
+        psnr = _psnr(r1.fdata, full40)
+        check("chunked resume vs one-shot (fused path)", psnr > 55,
+              f"psnr={psnr:.2f} dB")
+    finally:
+        shutil.rmtree(ckdir, ignore_errors=True)
+
     # --- batched runner: lax.map Pallas path vs vmapped XLA path ---
     from jpeg2png_tpu.runner import solve_batched
 
