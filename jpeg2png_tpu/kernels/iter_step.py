@@ -442,9 +442,13 @@ def supports(C: int, H: int, W: int, samps, geoms_full_canvas: bool) -> bool:
         if SH % (8 * sy) or W % sx or H % sy:
             return False
     H_pad, W_pad = _pad_shape(H, W, samps)
-    # the three whole-solve canvases + stencil temporaries must leave
-    # headroom in VMEM (~100 MB usable on v5e)
-    if 3 * 4 * C * H_pad * W_pad > 80 * 1024 * 1024:
+    # whole-solve VMEM budget: three f32 canvases + the coef-resolution
+    # constants (devq carry 4B + int16 data 2B + quant 4B per coef,
+    # worst case all channels prob-enabled) + ~16 MB for stencil
+    # temporaries and tiles, against ~110 MB of usable v5e VMEM
+    canvases = 3 * 4 * C * H_pad * W_pad
+    consts = sum(10 * (H_pad // sy) * (W_pad // sx) for sy, sx in samps)
+    if canvases + consts + 16 * 1024 * 1024 > 105 * 1024 * 1024:
         return False
     # tiny images: padding waste makes the XLA path competitive anyway
     if H_pad * W_pad > 4 * H * W:
