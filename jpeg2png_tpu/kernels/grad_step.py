@@ -77,7 +77,7 @@ def _shift_y(a, delta, rows, h):
 def _kernel(
     factor_ref,            # scalar-prefetch (1,) FISTA factor
     *refs,                 # per-channel HBM refs + scratch, see below
-    C, P, H, W, SH, weight, nstripes, prob_mask,
+    C, P, H, W, HT, WT, SH, weight, nstripes, prob_mask,
 ):
     """refs layout (all ANY/HBM unless noted):
     C x f, C x fista, P x pgrad (only channels with prob_mask[c]),
@@ -159,8 +159,8 @@ def _kernel(
     for c in range(C):
         f = f_tile[c, :, :]
         fl[c] = f + factor * (f - fi_tile[c, :, :])
-        gx[c] = jnp.where(cols < W - 1, _roll(fl[c], -1, 1) - fl[c], 0.0)
-        gy[c] = jnp.where(rows < H - 1, _roll(fl[c], -1, 0) - fl[c], 0.0)
+        gx[c] = jnp.where(cols < WT - 1, _roll(fl[c], -1, 1) - fl[c], 0.0)
+        gy[c] = jnp.where(rows < HT - 1, _roll(fl[c], -1, 0) - fl[c], 0.0)
 
     # ---- TV term (compute.c:73-125 in gather form) ----
     gsq = gx[0] * gx[0] + gy[0] * gy[0]
@@ -174,7 +174,8 @@ def _kernel(
     for c in range(C):
         a = gx[c] * inv
         b = gy[c] * inv
-        grad[c] = (-(a + b) + _shift_x(a, 1) + _shift_y(b, 1, rows, H)) * alpha
+        grad[c] = (-(a + b) + _shift_x(a, 1)
+                   + _shift_y(b, 1, rows, HT)) * alpha
 
     acc[C] = acc[C] + alpha * jnp.sum(jnp.where(own, g_norm, 0.0))
 
@@ -188,8 +189,18 @@ def _kernel(
         for c in range(C):
             g_xx[c] = jnp.where(cols >= 1, gx[c] - _shift_x(gx[c], 1), 0.0)
             g_yx = jnp.where(cols >= 1, gy[c] - _shift_x(gy[c], 1), 0.0)
-            g_xy = jnp.where(rows >= 1, gx[c] - _shift_y(gx[c], 1, rows, H), 0.0)
-            g_yy[c] = jnp.where(rows >= 1, gy[c] - _shift_y(gy[c], 1, rows, H), 0.0)
+            if WT < W:
+                # canvas padding: the x-diff of gy at pad col WT is a
+                # spurious -gy[WT-1] (kernels/iter_step.py rationale)
+                g_yx = jnp.where(cols < WT, g_yx, 0.0)
+            g_xy = jnp.where(rows >= 1,
+                             gx[c] - _shift_y(gx[c], 1, rows, HT), 0.0)
+            g_yy[c] = jnp.where(rows >= 1,
+                                gy[c] - _shift_y(gy[c], 1, rows, HT), 0.0)
+            if HT < H:
+                # and the y-diff of gx at pad row HT: -gx[HT-1]
+                g_xy = jnp.where(rows < HT, g_xy, 0.0)
+                g_yy[c] = jnp.where(rows < HT, g_yy[c], 0.0)
             sym[c] = (g_xy + g_yx) * 0.5
             term = (g_xx[c] * g_xx[c] + 2.0 * sym[c] * sym[c]
                     + g_yy[c] * g_yy[c])
@@ -203,9 +214,9 @@ def _kernel(
             r = -sym[c] * inv2
             g2 = (center
                   + _shift_x(p, -1) + _shift_x(p, 1)
-                  + _shift_y(q, -1, rows, H) + _shift_y(q, 1, rows, H)
-                  + _shift_x(_shift_y(r, -1, rows, H), 1)
-                  + _shift_x(_shift_y(r, 1, rows, H), -1))
+                  + _shift_y(q, -1, rows, HT) + _shift_y(q, 1, rows, HT)
+                  + _shift_x(_shift_y(r, -1, rows, HT), 1)
+                  + _shift_x(_shift_y(r, 1, rows, HT), -1))
             grad[c] = grad[c] + alpha2 * g2
         acc[C + 1] = acc[C + 1] + alpha2 * jnp.sum(jnp.where(own, n2, 0.0))
 
@@ -290,7 +301,7 @@ def _pick_stripe(h: int, w: int) -> int:
 
     HBM DMA slices must be 8-row aligned (Mosaic (8,128) tiling), so the
     halo is 8 rows per side even though the stencil only needs 2."""
-    budget = 5 * 1024 * 1024
+    budget = 12 * 1024 * 1024
     for sh in (256, 128, 64, 32, 16, 8):
         if 5 * 3 * (sh + 16) * w * 4 <= budget and h >= sh + 16:
             return sh
@@ -305,7 +316,8 @@ def supports(C: int, H: int, W: int) -> bool:
     return _pick_stripe(H, W) != 0
 
 
-def fused_grad(fdatas, fistas, pgrads, factor, weight: float):
+def fused_grad(fdatas, fistas, pgrads, factor, weight: float,
+               h_true: int | None = None, w_true: int | None = None):
     """Run the fused kernel.
 
     Args:
@@ -315,11 +327,16 @@ def fused_grad(fdatas, fistas, pgrads, factor, weight: float):
             None for channels whose prob term is disabled (pweight 0).
         factor: scalar FISTA extrapolation factor (traced).
         weight: static TGV2 weight (0 disables the second-order term).
+        h_true, w_true: true image-canvas extent when [H, W] is a
+            zero-padded canvas (edge masks key to these; padding stays
+            frozen at zero exactly as in kernels/iter_step.py).
     Returns:
         (grads list of [H,W], extraps list of [H,W], sumsq [C], tv, tv2)
     """
     C = len(fdatas)
     H, W = fdatas[0].shape
+    HT = H if h_true is None else int(h_true)
+    WT = W if w_true is None else int(w_true)
     prob_mask = tuple(p is not None for p in pgrads)
     P = sum(prob_mask)
     SH = _pick_stripe(H, W)
@@ -328,8 +345,8 @@ def fused_grad(fdatas, fistas, pgrads, factor, weight: float):
     T = SH + 16
 
     kernel = functools.partial(
-        _kernel, C=C, P=P, H=H, W=W, SH=SH, weight=float(weight),
-        nstripes=nstripes, prob_mask=prob_mask)
+        _kernel, C=C, P=P, H=H, W=W, HT=HT, WT=WT, SH=SH,
+        weight=float(weight), nstripes=nstripes, prob_mask=prob_mask)
 
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     scratch = [
@@ -360,6 +377,11 @@ def fused_grad(fdatas, fistas, pgrads, factor, weight: float):
         grid_spec=grid_spec,
         out_shape=[hw] * (2 * C) + [jax.ShapeDtypeStruct((8, 128),
                                                          jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # v5e has 100+ MB of usable VMEM; the 16 MB default scoped
+            # cap rejects wide-canvas stripes (see iter_step.py)
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
     )(jnp.reshape(factor.astype(jnp.float32), (1,)),
       *fdatas, *fistas, *[p for p in pgrads if p is not None])
 

@@ -239,7 +239,7 @@ def _pick_stripe(h: int, w: int, sy: int) -> int:
 
 
 def supports(H: int, W: int, sy: int, sx: int) -> bool:
-    if H % 8 or W % 128 or W > 2048:
+    if H % 8 or W % 128 or W > 8192:
         return False
     # coef-space column tiles are lane slices of VMEM scratch, which
     # Mosaic requires to be 128-lane aligned — a coef width that is not
@@ -326,6 +326,8 @@ def fused_project(extrap, grad, scale, lo, hi, dq, inv_q, p_alpha_ss,
         fnew, pgrad, dist = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[hw, hw, jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
         )(scalars, extrap, grad, *consts, lo, hi, dq, inv_q)
         return fnew, pgrad, dist[0, 0]
 
@@ -333,6 +335,8 @@ def fused_project(extrap, grad, scale, lo, hi, dq, inv_q, p_alpha_ss,
         functools.partial(_kernel_adapter, kernel=kernel),
         grid_spec=grid_spec,
         out_shape=[hw],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
     )(scalars, extrap, grad, *consts, lo, hi)
     return fnew, None, jnp.float32(0.0)
 

@@ -344,56 +344,72 @@ def _build_solver_impl(
             # pixel-space gradient computed right after the previous
             # projection (identical to reading aux->cos,
             # compute.c:381 + :38-70).
+            return make_body_pallas(W, los, his, dqs, inv_qs,
+                                    False)(carry, _)
+
+        def make_body_pallas(W2, los2, his2, dqs2, iqs2, assume_full):
+            # W2/constants may describe a W-zero-padded canvas (padding
+            # frozen by lo == hi == 0 boxes, true-edge masks in the
+            # gradient kernel; see kernels/iter_step.py rationale);
+            # assume_full means every channel projects on the whole
+            # padded canvas (region gaps carry unconstrained boxes).
             from jpeg2png_tpu.kernels import project_step
             from jpeg2png_tpu.kernels.grad_step import fused_grad
 
-            fdatas, fistas, pgrads, prob_dist, t = carry
-            tnext, factor = fista_factor(t)
+            def body(carry, _):
+                fdatas, fistas, pgrads, prob_dist, t = carry
+                tnext, factor = fista_factor(t)
 
-            pg_in = []
-            k = 0
-            for c in range(len(geoms)):
-                if p_alphas[c] != 0.0:
-                    pg_in.append(pgrads[k])
-                    k += 1
-                else:
-                    pg_in.append(None)
-            grads, extraps, sumsq, tv, tv2 = fused_grad(
-                list(fdatas), list(fistas), pg_in, factor, weight)
-            norms = jnp.sqrt(sumsq)
-            scale = jnp.where(norms == 0.0, 0.0, step_size / norms)
+                pg_in = []
+                k = 0
+                for c in range(len(geoms)):
+                    if p_alphas[c] != 0.0:
+                        pg_in.append(pgrads[k])
+                        k += 1
+                    else:
+                        pg_in.append(None)
+                grads, extraps, sumsq, tv, tv2 = fused_grad(
+                    list(fdatas), list(fistas), pg_in, factor, weight,
+                    h_true=H, w_true=W)
+                norms = jnp.sqrt(sumsq)
+                scale = jnp.where(norms == 0.0, 0.0, step_size / norms)
 
-            new_fdatas = []
-            new_pgrads = []
-            prob_dist_next = jnp.float32(0.0)
-            for c, g in enumerate(geoms):
-                full_canvas = g.region_h == H and g.region_w == W
-                if full_canvas and project_step.supports(
-                        H, W, g.h_samp, g.w_samp):
-                    with_prob = p_alphas[c] != 0.0
-                    fnew, pgrad, dist = project_step.fused_project(
-                        extraps[c], grads[c], scale[c],
-                        los[c], his[c],
-                        dqs[c] if with_prob else None,
-                        inv_qs[c] if with_prob else None,
-                        (p_alphas[c] * g.h_samp * g.w_samp
-                         if with_prob else 0.0),
-                        g.h_samp, g.w_samp)
-                    if with_prob and not simd_compat_logging:
-                        dist = p_alphas[c] * dist
-                else:
-                    fmid = extraps[c] - grads[c] * scale[c]
-                    fnew, pgrad, dist = project_prob_channel(c, g, fmid)
-                new_fdatas.append(fnew)
-                if pgrad is not None:
-                    new_pgrads.append(pgrad)
-                prob_dist_next = prob_dist_next + dist
+                new_fdatas = []
+                new_pgrads = []
+                prob_dist_next = jnp.float32(0.0)
+                for c, g in enumerate(geoms):
+                    full_canvas = assume_full or (
+                        g.region_h == H and g.region_w == W2)
+                    if full_canvas and project_step.supports(
+                            H, W2, g.h_samp, g.w_samp):
+                        with_prob = p_alphas[c] != 0.0
+                        fnew, pgrad, dist = project_step.fused_project(
+                            extraps[c], grads[c], scale[c],
+                            los2[c], his2[c],
+                            dqs2[c] if with_prob else None,
+                            iqs2[c] if with_prob else None,
+                            (p_alphas[c] * g.h_samp * g.w_samp
+                             if with_prob else 0.0),
+                            g.h_samp, g.w_samp)
+                        if with_prob and not simd_compat_logging:
+                            dist = p_alphas[c] * dist
+                    else:
+                        fmid = extraps[c] - grads[c] * scale[c]
+                        fnew, pgrad, dist = project_prob_channel(
+                            c, g, fmid)
+                    new_fdatas.append(fnew)
+                    if pgrad is not None:
+                        new_pgrads.append(pgrad)
+                    prob_dist_next = prob_dist_next + dist
 
-            objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
-            metrics = jnp.stack([objective, prob_dist, tv, tv2])
-            carry = (tuple(new_fdatas), fdatas, tuple(new_pgrads),
-                     prob_dist_next, tnext)
-            return carry, metrics
+                objective = ((tv + tv2 + prob_dist)
+                             / jnp.float32(total_alpha))
+                metrics = jnp.stack([objective, prob_dist, tv, tv2])
+                carry = (tuple(new_fdatas), fdatas, tuple(new_pgrads),
+                         prob_dist_next, tnext)
+                return carry, metrics
+
+            return body
 
         if use_pallas:
             from jpeg2png_tpu.kernels import iter_step
@@ -436,18 +452,70 @@ def _build_solver_impl(
                 carry_out, metrics = solve_mega(
                     carry_in, fresh, data_arr, q_arr)
                 return jnp.stack(carry_out[0]), metrics, carry_out
-            if _grad_supports(nchannel, H, W):
+            # two-kernel tier for canvases beyond the fused-solve VMEM
+            # gate: W-pad to the 128*max_sx alignment the kernels need
+            # (H needs no padding — the gradient kernel handles any
+            # 8-multiple height with clamped windows).  Padded columns
+            # carry lo == hi == 0 boxes and stay frozen at zero;
+            # region-gap channels carry unconstrained sentinel boxes.
+            from jpeg2png_tpu.kernels import project_step as _proj
+
+            max_sx = max(g.w_samp for g in geoms)
+            wq = 128 * max_sx
+            W2 = -(-W // wq) * wq
+            two_ok = (
+                H % 8 == 0
+                and _grad_supports(nchannel, H, W2)
+                and all(_proj.supports(H, W2, g.h_samp, g.w_samp)
+                        and H % g.h_samp == 0
+                        for g in geoms))
+            if two_ok:
+                BIG = jnp.float32(2.0 ** 39)
+                los2, his2, dqs2, iqs2 = [], [], [], []
+                for c, g in enumerate(geoms):
+                    hc_t, wc_t = H // g.h_samp, W // g.w_samp
+                    wc_p = W2 // g.w_samp
+                    lo, hi = los[c], his[c]
+                    dq, iq = dqs[c], inv_qs[c]
+                    if lo.shape != (hc_t, wc_t):
+                        # region gap: unconstrained boxes, no prob
+                        pad = ((0, hc_t - lo.shape[0]),
+                               (0, wc_t - lo.shape[1]))
+                        lo = jnp.pad(lo, pad, constant_values=-BIG)
+                        hi = jnp.pad(hi, pad, constant_values=BIG)
+                        dq = jnp.pad(dq, pad)
+                        iq = jnp.pad(iq, pad)
+                    if wc_p != wc_t:
+                        # canvas padding: lo == hi == 0 freezes it
+                        padw = ((0, 0), (0, wc_p - wc_t))
+                        lo = jnp.pad(lo, padw)
+                        hi = jnp.pad(hi, padw)
+                        dq = jnp.pad(dq, padw)
+                        iq = jnp.pad(iq, padw)
+                    los2.append(lo)
+                    his2.append(hi)
+                    dqs2.append(dq)
+                    iqs2.append(iq)
+
                 if carry_in is None:
-                    f0s = tuple(f0[c] for c in range(len(geoms)))
+                    f0s = tuple(
+                        jnp.pad(f0[c], ((0, 0), (0, W2 - W)))
+                        if W2 != W else f0[c]
+                        for c in range(len(geoms)))
                     pg0 = tuple(
-                        jnp.zeros((H, W), f32) for c in range(len(geoms))
+                        jnp.zeros((H, W2), f32)
+                        for c in range(len(geoms))
                         if p_alphas[c] != 0.0)
                     carry_in = (f0s, f0s, pg0, jnp.float32(0.0),
                                 jnp.asarray(1.0, f32))
+                body = make_body_pallas(W2, los2, his2, dqs2, iqs2, True)
                 carry_out, metrics = jax.lax.scan(
-                    body_pallas, carry_in, None, length=nsteps
+                    body, carry_in, None, length=nsteps
                 )
-                return jnp.stack(carry_out[0]), metrics, carry_out
+                fdata = jnp.stack(carry_out[0])
+                if W2 != W:
+                    fdata = fdata[:, :, :W]
+                return fdata, metrics, carry_out
             # geometry not expressible in the Pallas kernels: XLA path
 
         if carry_in is None:
@@ -488,12 +556,19 @@ def _pallas_default(geoms: Tuple[ChannelGeometry, ...]) -> bool:
     """Use the fused Pallas path on TPU when the geometry supports it."""
     if jax.default_backend() != "tpu":
         return False
-    from jpeg2png_tpu.kernels import grad_step, iter_step
+    from jpeg2png_tpu.kernels import grad_step, iter_step, project_step
 
     H, W = canvas_shape(geoms)
     samps = [(g.h_samp, g.w_samp) for g in geoms]
-    return (iter_step.supports(len(geoms), H, W, samps, True)
-            or grad_step.supports(len(geoms), H, W))
+    if iter_step.supports(len(geoms), H, W, samps, True):
+        return True
+    # the W-padded two-kernel tier (mirrors solve_impl's gating)
+    wq = 128 * max(sx for _, sx in samps)
+    W2 = -(-W // wq) * wq
+    return (H % 8 == 0
+            and grad_step.supports(len(geoms), H, W2)
+            and all(project_step.supports(H, W2, sy, sx) and H % sy == 0
+                    for sy, sx in samps))
 
 
 def solve_joint(
