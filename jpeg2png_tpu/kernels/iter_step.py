@@ -44,10 +44,10 @@ Other design points:
   * all DCT/resample matmuls are 128-tiled block-diagonal bf16x3 MXU
     products with f32 accumulation (see project_step.py docstring).
 
-Geometry restrictions (solver falls back otherwise): every channel's
-region is the full canvas, H % 128 == 0, W % 128 == 0, each channel's
-coef width a multiple of 128, and the VMEM state gate (~2 MP at C=3).
-Both phases use SH=128 row stripes.
+Geometry: fused_solve zero-pads any block-aligned canvas to the
+128-aligned shape the kernel needs (see _pad_shape); the only real
+gates are the VMEM state budget (~1.9 MP at C=3) and a padding-waste
+cap for tiny images.  Both phases use SH=128 row stripes.
 
 Mosaic constraints: ANY memory space with manual DMA at the staging
 edges, 8-row-aligned dynamic VMEM slices, per-channel 2-D tiles,

@@ -333,21 +333,18 @@ def _build_solver_impl(
                      dist_total[-1], t_final)
             return carry, metrics
 
-        def body_pallas(carry, _):
-            # Same math with the whole iteration in Pallas: one fused
+        def make_body_pallas(W2, los2, his2, dqs2, iqs2, assume_full):
+            # Scan body with the whole iteration in Pallas: one fused
             # pass for extrapolation + TV/TGV2 gradients
             # (kernels/grad_step.py) and one fused pass per channel for
             # the normalized step + box projection + prob gradient
             # (kernels/project_step.py).  State lives as per-channel
-            # [H, W] tuples — no [C, H, W] stacking in the loop (stacks
+            # [H, W2] tuples — no [C, H, W] stacking in the loop (stacks
             # are physical copies).  The prob term is carried as a
             # pixel-space gradient computed right after the previous
             # projection (identical to reading aux->cos,
             # compute.c:381 + :38-70).
-            return make_body_pallas(W, los, his, dqs, inv_qs,
-                                    False)(carry, _)
-
-        def make_body_pallas(W2, los2, his2, dqs2, iqs2, assume_full):
+            #
             # W2/constants may describe a W-zero-padded canvas (padding
             # frozen by lo == hi == 0 boxes, true-edge masks in the
             # gradient kernel; see kernels/iter_step.py rationale);
