@@ -231,11 +231,23 @@ def _kernel(
             prob_idx[c] = pi
             pi += 1
 
+    pad_mask = None
+    if HT < H or WT < W:
+        # zero the gradient outside the true canvas: the TGV2 gather
+        # reads boundary values into the first pad row/col (see
+        # kernels/iter_step.py), which would un-freeze padding under
+        # subsampled projection and contaminate the global norm
+        rows_own = jax.lax.broadcasted_iota(jnp.int32, (SH, W), 0) + r0
+        cols_own = jax.lax.broadcasted_iota(jnp.int32, (SH, W), 1)
+        pad_mask = (rows_own < HT) & (cols_own < WT)
+
     def emit(off: int):
         for c in range(C):
             g = grad[c] if off == 0 else _roll(grad[c], -off, 0)
             e = fl[c] if off == 0 else _roll(fl[c], -off, 0)
             g_own = g[:SH, :]
+            if pad_mask is not None:
+                g_own = jnp.where(pad_mask, g_own, 0.0)
             if c in prob_idx:
                 g_own = g_own + pg_tile[prob_idx[c], :, :]
             g_own = jnp.where(valid, g_own, 0.0)

@@ -75,9 +75,9 @@ _F32 = jnp.float32
 
 def _kernel(
     factors_ref,           # scalar-prefetch [nsteps] FISTA factors
-    *refs,
+    *refs,                 # [extents (2,) i32 prefetch when dynamic]
     C, P, H, W, H_true, W_true, weight, prob_mask, samps, p_alpha_sss,
-    TCs, NS, step, nsteps,
+    TCs, NS, step, nsteps, dynamic,
 ):
     """refs layout (inputs, then outputs, then scratch):
 
@@ -95,6 +95,8 @@ def _kernel(
     """
     n_samp = len(dict.fromkeys(samps))
     rit = iter(refs)
+    extents_ref = next(rit) if dynamic else None
+    step_ref = next(rit) if dynamic else None
     f0_hbms = [next(rit) for _ in range(C)]
     fi0_hbms = [next(rit) for _ in range(C)]
     dq0_hbms = [next(rit) for _ in range(P)]
@@ -132,6 +134,12 @@ def _kernel(
     k = pl.program_id(1)      # stripe index within the iteration
     factor = factors_ref[it]
     T = SH + 16
+    # true image extents: compile-time constants normally; runtime
+    # scalars in dynamic-extent (bucketed serving) mode, where one
+    # compiled kernel serves every image padded to this bucket shape
+    ht = extents_ref[0] if dynamic else H_true
+    wt = extents_ref[1] if dynamic else W_true
+    step_v = step_ref[0] if dynamic else step
 
     # ---- one-time staging: whole state HBM -> VMEM ----
     @pl.when((it == 0) & (k == 0))
@@ -195,7 +203,7 @@ def _kernel(
             def sh_y(a, d):
                 if (d > 0 and not top) or (d < 0 and not bot):
                     return _roll(a, d, 0)
-                return _shift_y(a, d, rows, H_true)
+                return _shift_y(a, d, rows, ht)
 
             fl = [None] * C
             gx = [None] * C
@@ -203,10 +211,10 @@ def _kernel(
             for c in range(C):
                 f = f_can[c, pl.ds(start, T), :]
                 fl[c] = f + factor * (f - fi_can[c, pl.ds(start, T), :])
-                gx[c] = jnp.where(cols < W_true - 1,
+                gx[c] = jnp.where(cols < wt - 1,
                                   _roll(fl[c], -1, 1) - fl[c], 0.0)
                 dy = _roll(fl[c], -1, 0) - fl[c]
-                gy[c] = (jnp.where(rows < H_true - 1, dy, 0.0)
+                gy[c] = (jnp.where(rows < ht - 1, dy, 0.0)
                          if bot else dy)
 
             gsq = gx[0] * gx[0] + gy[0] * gy[0]
@@ -234,22 +242,22 @@ def _kernel(
                                         gx[c] - _shift_x(gx[c], 1), 0.0)
                     g_yx = jnp.where(cols >= 1,
                                      gy[c] - _shift_x(gy[c], 1), 0.0)
-                    if W_true < W:
+                    if dynamic or W_true < W:
                         # canvas padding: the x-diff of gy at pad col
-                        # W_true is a spurious -gy[W_true-1]; the
-                        # straight diffs are already zero there because
-                        # gx/gy themselves are edge-masked
-                        g_yx = jnp.where(cols < W_true, g_yx, 0.0)
+                        # wt is a spurious -gy[wt-1]; the straight
+                        # diffs are already zero there because gx/gy
+                        # themselves are edge-masked
+                        g_yx = jnp.where(cols < wt, g_yx, 0.0)
                     dxy = gx[c] - sh_y(gx[c], 1)
                     dyy = gy[c] - sh_y(gy[c], 1)
                     if top:
                         dxy = jnp.where(rows >= 1, dxy, 0.0)
                         dyy = jnp.where(rows >= 1, dyy, 0.0)
-                    if bot and H_true < H:
-                        # same in y: the y-diff of gx at pad row H_true
-                        # is a spurious -gx[H_true-1]
-                        dxy = jnp.where(rows < H_true, dxy, 0.0)
-                        dyy = jnp.where(rows < H_true, dyy, 0.0)
+                    if bot and (dynamic or H_true < H):
+                        # same in y: the y-diff of gx at pad row ht is
+                        # a spurious -gx[ht-1]
+                        dxy = jnp.where(rows < ht, dxy, 0.0)
+                        dyy = jnp.where(rows < ht, dyy, 0.0)
                     g_xy = dxy
                     g_yy[c] = dyy
                     sym[c] = (g_xy + g_yx) * 0.5
@@ -273,8 +281,23 @@ def _kernel(
                 acc[C + 1] = acc[C + 1] + alpha2 * jnp.sum(
                     n2[off:off + SH, :])
 
+            pad_mask = None
+            if dynamic or H_true < H or W_true < W:
+                # the TGV2 gather legitimately reads boundary values
+                # into the first pad row/col (the reference's scatter
+                # would land out of bounds there); zero the gradient
+                # outside the true canvas so padding stays exactly 0
+                # (subsampled projection would otherwise keep its
+                # footprint residual) and the global norm stays clean
+                rows_own = (jax.lax.broadcasted_iota(
+                    jnp.int32, (SH, W), 0) + r0)
+                cols_own = jax.lax.broadcasted_iota(
+                    jnp.int32, (SH, W), 1)
+                pad_mask = (rows_own < ht) & (cols_own < wt)
             for c in range(C):
                 g_own = grad[c][off:off + SH, :]
+                if pad_mask is not None:
+                    g_own = jnp.where(pad_mask, g_own, 0.0)
                 if prob_mask[c]:
                     pi = prob_idx[c]
                     sy, sx = samps[c]
@@ -302,11 +325,16 @@ def _kernel(
         # and the canvas is padded, the first all-padding stripe's halo
         # reaches back into real data, and without masks its stencil
         # would manufacture spurious diffs across the pad boundary.
+        # In dynamic-extent mode the edge position is a runtime value,
+        # so every stripe carries the bottom-edge masks.
         configs = {}
         for kk in range(NS):
             off = 0 if kk == 0 else (16 if kk == NS - 1 else 8)
-            start_kk = min(max(kk * SH - 8, 0), H - T)
-            bot_kk = start_kk <= H_true - 1 < start_kk + T
+            if dynamic:
+                bot_kk = True
+            else:
+                start_kk = min(max(kk * SH - 8, 0), H - T)
+                bot_kk = start_kk <= H_true - 1 < start_kk + T
             key = (kk == 0, bot_kk, off)
             configs.setdefault(key, []).append(kk)
         for (top, bot, off), ks in configs.items():
@@ -339,7 +367,7 @@ def _kernel(
 
             sumsq = acc[c]
             scale = jnp.where(sumsq == 0.0, 0.0,
-                              step * jax.lax.rsqrt(sumsq))
+                              step_v * jax.lax.rsqrt(sumsq))
 
             # recompute the extrapolated iterate from the canvases
             # (compute.c:431-440) and take the normalized step
@@ -457,7 +485,8 @@ def supports(C: int, H: int, W: int, samps, geoms_full_canvas: bool) -> bool:
 
 
 def fused_solve(f0s, fista0s, devq0s, factors, step_size,
-                datas_i16, q_rs, p_alpha_sss, samps, weight):
+                datas_i16, q_rs, p_alpha_sss, samps, weight,
+                extents=None):
     """Run `nsteps = len(factors)` solver iterations in ONE kernel.
 
     Args:
@@ -468,12 +497,18 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
             at compute.c:279-286).
         factors: [nsteps] f32 array of FISTA extrapolation factors
             (factor 0 at a fresh iteration 0; compute.c:431-440).
-        step_size: static float radius/sqrt(1+iterations).
+        step_size: radius/sqrt(1+iterations) — static float normally,
+            traced scalar in dynamic-extent mode.
         datas_i16: per-channel [hc, wc] int16 rasterized coefficients.
         q_rs: per-channel [hc, wc] f32 rasterized quant tables.
         p_alpha_sss: per-channel static float p_alpha*sy*sx (0 = no prob).
         samps: per-channel (sy, sx).
         weight: static TGV2 weight.
+        extents: optional traced [2] int32 (h_true, w_true) — dynamic-
+            extent mode for bucketed serving: inputs must already be at
+            an aligned bucket shape (the caller pads and builds the
+            FREE/FROZEN quant raster), and ONE compiled kernel serves
+            every image in the bucket regardless of its true size.
     Returns:
         (fdatas list [H,W], fistas list, devqs_out list,
          partials [nsteps, 8]) where partials columns are
@@ -481,7 +516,12 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
     """
     C = len(f0s)
     H_true, W_true = f0s[0].shape
-    H, W = _pad_shape(H_true, W_true, samps)
+    dynamic = extents is not None
+    if dynamic:
+        H, W = H_true, W_true   # caller already padded to the bucket
+        assert H % SH == 0 and H >= SH + 16 and W % 128 == 0, (H, W)
+    else:
+        H, W = _pad_shape(H_true, W_true, samps)
     prob_mask = tuple(pa != 0.0 for pa in p_alpha_sss)
     P = sum(prob_mask)
     NS = H // SH
@@ -493,7 +533,7 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
         return x if ph == 0 and pw == 0 else jnp.pad(x, ((0, ph), (0, pw)))
 
     coef_true_shapes = [d.shape for d in datas_i16]
-    if (H, W) != (H_true, W_true):
+    if not dynamic and (H, W) != (H_true, W_true):
         f0s = [pad_to(f, H, W) for f in f0s]
         fista0s = [pad_to(f, H, W) for f in fista0s]
         padded_coef = [(H // sy, W // sx) for sy, sx in samps]
@@ -519,7 +559,9 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
         W_true=int(W_true), weight=float(weight),
         prob_mask=prob_mask, samps=tuple(samps),
         p_alpha_sss=tuple(float(p) for p in p_alpha_sss),
-        TCs=TCs, NS=NS, step=float(step_size), nsteps=int(nsteps))
+        TCs=TCs, NS=NS,
+        step=0.0 if dynamic else float(step_size),
+        nsteps=int(nsteps), dynamic=dynamic)
 
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     n_in = 2 * C + P + 2 * C + 4 * n_samp
@@ -550,7 +592,7 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3 if dynamic else 1,
         grid=(nsteps, 2 * NS),
         in_specs=[any_spec] * n_in,
         out_specs=[any_spec] * n_out,
@@ -562,6 +604,10 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
     out_shape = ([hw] * (2 * C) + dq_shapes
                  + [jax.ShapeDtypeStruct((nsteps, 8, 128), _F32)])
 
+    prefetch = (factors.astype(_F32),)
+    if dynamic:
+        prefetch += (extents.astype(jnp.int32),
+                     jnp.reshape(jnp.asarray(step_size, _F32), (1,)))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -571,7 +617,7 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
             # default scoped-vmem cap; v5e has far more physical VMEM
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(factors.astype(_F32), *f0s, *fista0s, *devq0s,
+    )(*prefetch, *f0s, *fista0s, *devq0s,
       *datas_i16, *q_rs, *ab_consts)
 
     fdatas = list(outs[:C])
@@ -579,7 +625,7 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
     devqs_out = list(outs[2 * C:2 * C + P])
     partials = outs[2 * C + P][:, :, 0]        # [nsteps, 8]
 
-    if (H, W) != (H_true, W_true):
+    if not dynamic and (H, W) != (H_true, W_true):
         # crop the zero padding back off (it stayed exactly 0)
         fdatas = [f[:H_true, :W_true] for f in fdatas]
         fistas = [f[:H_true, :W_true] for f in fistas]

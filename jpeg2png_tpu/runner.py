@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import dataclasses
+import math
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -103,25 +104,45 @@ def decode_files_batched(
     """
     from jpeg2png_tpu.ops.color import gray_packed, ycbcr_to_rgb_packed
 
+    from jpeg2png_tpu.kernels import iter_step
+
     with concurrent.futures.ThreadPoolExecutor(io_threads) as pool:
         images = list(pool.map(read_jpeg, infiles))
 
+    # mixed-size dynamic-extent bucketing on TPU: images sharing a
+    # padded bucket shape + subsampling solve through ONE compiled
+    # kernel regardless of their exact sizes (SURVEY.md §7 #6); exact-
+    # geometry bucketing is the fallback for other backends/geometries
     buckets: Dict[Tuple, List[int]] = defaultdict(list)
     for i, img in enumerate(images):
-        buckets[geometry_key(img)].append(i)
+        samps = tuple((p.h_samp, p.w_samp) for p in img.planes)
+        if jax.default_backend() == "tpu":
+            hb, wb = bucket_shape_for(img)
+            if iter_step.supports(img.nchannel, hb, wb, list(samps),
+                                  True):
+                buckets[("dyn", hb, wb, samps)].append(i)
+                continue
+        buckets[("exact",) + geometry_key(img)].append(i)
 
     out: Dict[str, np.ndarray] = {}
     for key, members in buckets.items():
         imgs = [images[i] for i in members]
         C = imgs[0].nchannel
-        datas = [[p.data for p in im.planes] for im in imgs]
-        quants = [[p.quant for p in im.planes] for im in imgs]
         samps = [(p.h_samp, p.w_samp) for p in imgs[0].planes]
-        res = solve_batched(
-            datas, quants, samps,
-            cfg.weights[0], list(cfg.pweights[:C]), cfg.iterations[0],
-            cfg.simd_compat_logging,
-        )
+        if key[0] == "dyn":
+            res = solve_bucket(
+                imgs, (key[1], key[2]),
+                cfg.weights[0], list(cfg.pweights[:C]),
+                cfg.iterations[0], cfg.simd_compat_logging,
+            )
+        else:
+            datas = [[p.data for p in im.planes] for im in imgs]
+            quants = [[p.quant for p in im.planes] for im in imgs]
+            res = solve_batched(
+                datas, quants, samps,
+                cfg.weights[0], list(cfg.pweights[:C]),
+                cfg.iterations[0], cfg.simd_compat_logging,
+            )
         for bi, i in enumerate(members):
             im = images[i]
             if logger is not None:
@@ -139,3 +160,187 @@ def decode_files_batched(
                     jnp.asarray(fd[2, :h, :w]), bits))
             out[infiles[i]] = pix
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mixed-size bucketed solving (dynamic-extent mode): ONE compiled kernel
+# per bucket shape serves every image padded into it — the answer to the
+# recompilation-storm hard part (SURVEY.md §7 #6) for realistic batches
+# of assorted JPEG sizes.
+# ---------------------------------------------------------------------------
+
+
+_FREE_Q = np.float32(2.0 ** 40)
+
+
+def _np_initial_canvas(planes, H, W, HB, WB):
+    """Host-side plain decode -> nearest-upsample -> zero-pad to bucket.
+
+    Mirrors decode_coefficients + aux_init (jpeg.c:83-92,
+    compute.c:296-302) in numpy so the bucket solve needs no per-shape
+    compiled init. Returns [C, HB, WB] float32."""
+    from jpeg2png_tpu.ops.dct import dct_matrix_f64
+
+    d = dct_matrix_f64()
+    out = np.zeros((len(planes), HB, WB), np.float32)
+    for c, p in enumerate(planes):
+        x = p.data.astype(np.float64) * p.quant.astype(np.float64)
+        # IDCT per block: D^T @ x @ D
+        y = np.einsum("ji,abjk->abik", d, x)
+        y = np.einsum("abik,kj->abij", y, d)
+        nby, nbx = y.shape[:2]
+        raster = np.moveaxis(y, 2, 1).reshape(nby * 8, nbx * 8)
+        ry, rx = raster.shape
+        sy, sx = p.h_samp, p.w_samp
+        up = np.repeat(np.repeat(raster, sy, 0), sx, 1)
+        # edge-clamped extension to the true canvas (compute.c:298-299)
+        up = np.pad(up, ((0, max(0, H - up.shape[0])),
+                         (0, max(0, W - up.shape[1]))), mode="edge")
+        out[c, :H, :W] = up[:H, :W]
+    return out
+
+
+def _np_bucket_consts(planes, H, W, HB, WB):
+    """Per-channel (data int16 raster, quant f32 raster) at bucket-coef
+    shape: real quant over the channel's region, the FREE sentinel over
+    the region->canvas gap (unconstrained boxes, prob underflows to 0),
+    zero over the bucket padding (frozen lo == hi == 0 boxes)."""
+    datas, q_rs = [], []
+    for p in planes:
+        sy, sx = p.h_samp, p.w_samp
+        hcb, wcb = HB // sy, WB // sx
+        hct, wct = H // sy, W // sx
+        nby, nbx = p.data.shape[:2]
+        dat = np.zeros((hcb, wcb), np.int16)
+        dat[:nby * 8, :nbx * 8] = np.moveaxis(
+            p.data, 2, 1).reshape(nby * 8, nbx * 8)
+        q = np.zeros((hcb, wcb), np.float32)
+        q[:hct, :wct] = _FREE_Q
+        q[:nby * 8, :nbx * 8] = np.tile(
+            p.quant.astype(np.float32), (nby, nbx))
+        datas.append(dat)
+        q_rs.append(q)
+    return datas, q_rs
+
+
+def bucket_shape_for(img: JpegImage) -> Tuple[int, int]:
+    """The dynamic-extent bucket an image naturally pads into."""
+    from jpeg2png_tpu.kernels.iter_step import _pad_shape
+    from jpeg2png_tpu.models.solver import ChannelGeometry, canvas_shape
+
+    geoms = tuple(ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
+                  for p in img.planes)
+    H, W = canvas_shape(geoms)
+    samps = [(p.h_samp, p.w_samp) for p in img.planes]
+    return _pad_shape(H, W, samps)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _bucket_solver(bucket, samps, pa_ss, weight, iterations):
+    """Jitted dynamic-extent bucket solver, cached per configuration
+    (one compilation serves every image and batch size B of the
+    bucket... B still shapes the trace; lax.map keys on B)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg2png_tpu.kernels import iter_step
+    from jpeg2png_tpu.models.solver import _fista_factors_np
+
+    HB, WB = bucket
+    C = len(samps)
+    factors_np, _ = _fista_factors_np(int(iterations))
+
+    def one(t):
+        f0, dat, q, ext, step = t
+        fs = [f0[c] for c in range(C)]
+        dq0 = [jnp.zeros((HB // sy, WB // sx), jnp.float32)
+               for c, (sy, sx) in enumerate(samps) if pa_ss[c] != 0.0]
+        fnews, _, _, partials = iter_step.fused_solve(
+            fs, fs, dq0, jnp.asarray(factors_np), step[0],
+            [dat[c] for c in range(C)], [q[c] for c in range(C)],
+            pa_ss, list(samps), weight, extents=ext)
+        return jnp.stack(fnews), partials
+
+    return jax.jit(lambda t: jax.lax.map(one, t))
+
+
+def solve_bucket(
+    images: Sequence[JpegImage],
+    bucket: Tuple[int, int],
+    weight: float,
+    pweights: Sequence[float],
+    iterations: int,
+    simd_compat_logging: bool = True,
+) -> BatchResult:
+    """Solve mixed-size same-subsampling images through ONE compiled
+    dynamic-extent kernel (kernels/iter_step.py).
+
+    Every image is host-padded to the `bucket` canvas; its true extents
+    ride in as runtime scalars, so adding a new image size to the
+    bucket never recompiles.  Returned fdata is [B, C, HB, WB] (crop
+    with each image's height/width).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg2png_tpu.models.solver import ChannelGeometry, canvas_shape
+
+    HB, WB = bucket
+    samps = [(p.h_samp, p.w_samp) for p in images[0].planes]
+    C = len(samps)
+    pa = [float(pw) * 2.0 * 255.0 * math.sqrt(2.0) for pw in pweights]
+    pa_ss = tuple(pa[c] * sy * sx for c, (sy, sx) in enumerate(samps))
+    prob_cs = [c for c in range(C) if pa[c] != 0.0]
+    total_alpha = sum(p for p in pa if p != 0.0) + C
+    if weight != 0.0:
+        total_alpha += (float(weight) / math.sqrt(2.0)) * C
+
+    f0s, dats, qs, exts, radii = [], [], [], [], []
+    for img in images:
+        geoms = tuple(ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
+                      for p in img.planes)
+        H, W = canvas_shape(geoms)
+        assert H <= HB and W <= WB, (H, W, bucket)
+        f0s.append(_np_initial_canvas(img.planes, H, W, HB, WB))
+        d, q = _np_bucket_consts(img.planes, H, W, HB, WB)
+        dats.append(d)
+        qs.append(q)
+        exts.append((H, W))
+        radii.append(math.sqrt(float(H) * float(W)) / 2.0)
+
+    # the step size radius/sqrt(1+iters) depends on each image's TRUE
+    # canvas (compute.c:425); in dynamic-extent mode it rides in as a
+    # runtime scalar alongside the extents, so mixed canvases share the
+    # one compiled kernel
+    steps = [r / math.sqrt(1.0 + iterations) for r in radii]
+    B = len(images)
+
+    mapped = _bucket_solver(
+        (HB, WB), tuple(samps), pa_ss, float(weight), int(iterations))
+    stacked = (
+        jnp.asarray(np.stack(f0s)),
+        [jnp.asarray(np.stack([d[c] for d in dats])) for c in range(C)],
+        [jnp.asarray(np.stack([q[c] for q in qs])) for c in range(C)],
+        jnp.asarray(np.array(exts, np.int32)),
+        jnp.asarray(np.array(steps, np.float32)[:, None]),
+    )
+    fd, partials = mapped(stacked)
+    fdata_out = np.asarray(fd)
+    partials = np.asarray(partials)
+    metrics_out = np.zeros((B, iterations, 4), np.float32)
+    for i in range(B):
+        tv = partials[i, :, C]
+        tv2 = partials[i, :, C + 1]
+        dist = np.zeros((iterations,), np.float32)
+        for pi, c in enumerate(prob_cs):
+            dcol = partials[i, :, C + 2 + pi]
+            if not simd_compat_logging:
+                dcol = pa[c] * dcol
+            dist = dist + dcol
+        prob_col = np.concatenate([[0.0], dist[:-1]])
+        obj = (tv + tv2 + prob_col) / total_alpha
+        metrics_out[i] = np.stack([obj, prob_col, tv, tv2], axis=1)
+    return BatchResult(fdata_out, metrics_out)

@@ -52,3 +52,47 @@ def test_decode_files_batched_mixed_sizes(fixtures_dir):
     diff = np.abs(out[files[0]].astype(int) - single.pixels.astype(int))
     assert diff.max() <= 3
     assert (diff > 1).mean() < 0.01
+
+
+def test_solve_bucket_matches_per_image(fixtures_dir, monkeypatch):
+    """Mixed-size images through ONE dynamic-extent kernel == per-image
+    solves (pre-chaos: state after 1 iteration, metrics rows 0-1)."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+    from jpeg2png_tpu.io import read_jpeg
+    from jpeg2png_tpu.models.solver import solve_joint
+    from jpeg2png_tpu.runner import solve_bucket
+
+    imgs = [read_jpeg(fixtures_dir / "lineart128_q10_420.jpg"),
+            read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")]
+    bucket = (256, 256)
+
+    res1 = solve_bucket(imgs, bucket, 0.3, [0.001] * 3, 1)
+    res2 = solve_bucket(imgs, bucket, 0.3, [0.001] * 3, 2)
+
+    for bi, img in enumerate(imgs):
+        d = [p.data for p in img.planes]
+        q = [p.quant for p in img.planes]
+        s = [(p.h_samp, p.w_samp) for p in img.planes]
+        fx, mx = solve_joint(d, q, s, 0.3, [0.001] * 3, 1,
+                             use_pallas=False)
+        fx = np.asarray(fx)
+        H, W = fx.shape[1:]
+        got = res1.fdata[bi][:, :H, :W]
+        np.testing.assert_allclose(got, fx, atol=5e-3)
+        # bucket padding stayed exactly zero
+        assert np.all(res1.fdata[bi][:, H:, :] == 0.0)
+        assert np.all(res1.fdata[bi][:, :, W:] == 0.0)
+
+        _, mx2 = solve_joint(d, q, s, 0.3, [0.001] * 3, 2,
+                             use_pallas=False)
+        np.testing.assert_allclose(
+            res2.metrics[bi][:2, 0], np.asarray(mx2)[:2, 0], rtol=1e-4)

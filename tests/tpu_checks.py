@@ -158,6 +158,20 @@ def main():
         check("fused path vs reference binary (i50)", psnr > 45,
               f"psnr={psnr:.2f} dB")
 
+    # --- mixed-size dynamic-extent bucket: one kernel, many sizes ---
+    from jpeg2png_tpu.runner import solve_bucket
+
+    res_b = solve_bucket([img, img3], (512, 768), 0.3, [0.001] * 3, 50)
+    for bi, (im, per) in enumerate(((img, fd_p), (img3, fp3))):
+        fx = np.asarray(per)
+        hh, ww = fx.shape[1:]
+        psnr = _psnr(res_b.fdata[bi][:, :hh, :ww], fx)
+        check(f"bucket member {bi} vs per-image fused solve", psnr > 55,
+              f"psnr={psnr:.2f} dB")
+        check(f"bucket member {bi} padding stayed zero",
+              bool(np.all(res_b.fdata[bi][:, hh:, :] == 0)
+                   and np.all(res_b.fdata[bi][:, :, ww:] == 0)))
+
     # --- checkpoint/resume through the fused path ---
     import shutil
     import tempfile
