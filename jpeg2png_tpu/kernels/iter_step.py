@@ -86,7 +86,10 @@ def _kernel(
          per distinct samp: ah, al, bh, bl                (bf16 tiles)
     out: C x fdata, C x fista, P x devq, metrics [nsteps, 8, 128]
     scratch: f_can, fi_can, g_can [C,H,W] (whole-solve canvases);
-         P x devq_v [hc,wc]; C x dat_v [hc,wc] i16; C x q_v [hc,wc];
+         P x devq_v [hc,wc]; C x dat_t [sr,wc] i16 + C x q_t [sr,wc]
+         (coef constants stream per projection stripe from HBM —
+         keeping them VMEM-resident pressured the allocator at large
+         canvases and capped the size gate);
          cf_t, dc_t [SH,W]; 4*n_samp bf16 tiles; part_out (8,128);
          acc SMEM (8,); sem DMA (8,).
 
@@ -112,8 +115,8 @@ def _kernel(
     fi_can = next(rit)
     g_can = next(rit)
     devq_v = [next(rit) for _ in range(P)]
-    dat_v = [next(rit) for _ in range(C)]
-    q_v = [next(rit) for _ in range(C)]
+    dat_t = [next(rit) for _ in range(C)]
+    q_t = [next(rit) for _ in range(C)]
     cf_t = next(rit)
     dc_t = next(rit)
     abt = [next(rit) for _ in range(4 * n_samp)]
@@ -151,9 +154,7 @@ def _kernel(
             cps.append(cp)
         for c in range(C):
             for src, dst, si in ((f0_hbms[c], f_can.at[c], 0),
-                                 (fi0_hbms[c], fi_can.at[c], 1),
-                                 (dat_hbms[c], dat_v[c], 2),
-                                 (q_hbms[c], q_v[c], 3)):
+                                 (fi0_hbms[c], fi_can.at[c], 1)):
                 cp = pltpu.make_async_copy(src, dst, sem.at[si])
                 cp.start()
                 cps.append(cp)
@@ -352,6 +353,22 @@ def _kernel(
         j = k - NS
         r0 = pl.multiple_of(j * SH, 8)
 
+        cps_in = []
+        for c in range(C):
+            sy, _sx = samps[c]
+            sr = SH // sy
+            cr0 = pl.multiple_of(j * sr, 8)
+            cp = pltpu.make_async_copy(
+                dat_hbms[c].at[pl.ds(cr0, sr), :], dat_t[c], sem.at[2])
+            cp.start()
+            cps_in.append(cp)
+            cp = pltpu.make_async_copy(
+                q_hbms[c].at[pl.ds(cr0, sr), :], q_t[c], sem.at[3])
+            cp.start()
+            cps_in.append(cp)
+        for cp in cps_in:
+            cp.wait()
+
         for c in range(C):
             sy, sx = samps[c]
             ss = float(sy * sx)
@@ -385,8 +402,8 @@ def _kernel(
             coefs = cf_t[:sr, :wc]
 
             # in-kernel clamp bounds (jpeg.c:86, compute.c:323-331)
-            q = q_v[c][pl.ds(cr0, sr), :]
-            dq = dat_v[c][pl.ds(cr0, sr), :].astype(_F32) * q
+            q = q_t[c][:, :]
+            dq = dat_t[c][:, :].astype(_F32) * q
             hq = 0.5 * q
             clamped = jnp.clip(coefs, dq - hq, dq + hq)
             dcv = col_bwd(clamped - coefs, bh_, bl_, TC, sx, wc)
@@ -470,12 +487,12 @@ def supports(C: int, H: int, W: int, samps, geoms_full_canvas: bool) -> bool:
         if SH % (8 * sy) or W % sx or H % sy:
             return False
     H_pad, W_pad = _pad_shape(H, W, samps)
-    # whole-solve VMEM budget: three f32 canvases + the coef-resolution
-    # constants (devq carry 4B + int16 data 2B + quant 4B per coef,
-    # worst case all channels prob-enabled) + ~16 MB for stencil
+    # whole-solve VMEM budget: three f32 canvases + the devq carry
+    # (4 B/coef, worst case all channels prob-enabled; the int16 data
+    # and quant rasters stream per stripe) + ~16 MB for stencil
     # temporaries and tiles, against ~110 MB of usable v5e VMEM
     canvases = 3 * 4 * C * H_pad * W_pad
-    consts = sum(10 * (H_pad // sy) * (W_pad // sx) for sy, sx in samps)
+    consts = sum(4 * (H_pad // sy) * (W_pad // sx) for sy, sx in samps)
     if canvases + consts + 16 * 1024 * 1024 > 105 * 1024 * 1024:
         return False
     # tiny images: padding waste makes the XLA path competitive anyway
@@ -576,9 +593,12 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
     for pi, c in enumerate(c for c in range(C) if prob_mask[c]):
         scratch.append(pltpu.VMEM(coef_shapes[c], _F32))        # devq_v
     for c in range(C):
-        scratch.append(pltpu.VMEM(coef_shapes[c], jnp.int16))   # dat_v
+        sy, sx = samps[c]
+        scratch.append(
+            pltpu.VMEM((SH // sy, W // sx), jnp.int16))         # dat_t
     for c in range(C):
-        scratch.append(pltpu.VMEM(coef_shapes[c], _F32))        # q_v
+        sy, sx = samps[c]
+        scratch.append(pltpu.VMEM((SH // sy, W // sx), _F32))   # q_t
     scratch += [
         pltpu.VMEM((SH, W), _F32),            # cf_t
         pltpu.VMEM((SH, W), _F32),            # dc_t

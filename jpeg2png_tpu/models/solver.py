@@ -594,6 +594,22 @@ def solve_joint(
         ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
         for d, (sy, sx) in zip(datas, samps)
     )
+    # Mosaic vector ops degrade ~2.7x once the lane dimension exceeds
+    # 1024; the objective is transpose-invariant (TV/TGV2 are symmetric
+    # in x/y, block DCTs of transposed blocks are transposed
+    # coefficients), so landscape images solve transposed when that
+    # keeps the lane dim in the fast range.
+    H, W = canvas_shape(geoms)
+    if (jax.default_backend() == "tpu" and use_pallas is not False
+            and W > 1024 and H < W):
+        datas_t = [np.transpose(np.asarray(d), (1, 0, 3, 2))
+                   for d in datas]
+        quants_t = [np.asarray(q).T for q in quants]
+        samps_t = [(sx, sy) for (sy, sx) in samps]
+        fdata, metrics = solve_joint(
+            datas_t, quants_t, samps_t, weight, pweights, iterations,
+            simd_compat_logging, dtype, use_pallas)
+        return jnp.swapaxes(fdata, 1, 2), metrics
     if use_pallas is None:
         use_pallas = _pallas_default(geoms)
     solver = _build_solver(
