@@ -158,6 +158,30 @@ def main():
         check("fused path vs reference binary (i50)", psnr > 45,
               f"psnr={psnr:.2f} dB")
 
+    # --- separate-components (-s) mode through the fused path ---
+    from jpeg2png_tpu.models.solver import solve_separate
+
+    rs_p = solve_separate(datas, quants, samps, [0.3] * 3, [0.001] * 3,
+                          [20] * 3)
+    for c in range(3):
+        d1 = [datas[c]]
+        q1 = [quants[c]]
+        s1 = [samps[c]]
+        fx1, _ = solve_joint(d1, q1, s1, 0.3, [0.001], 20,
+                             use_pallas=False)
+        psnr = _psnr(rs_p[c][0], fx1)
+        check(f"-s channel {c} pallas-vs-xla", psnr > 55,
+              f"psnr={psnr:.2f} dB")
+
+    # --- grayscale (C=1, beyond-reference extension) ---
+    lum = [datas[0]]
+    fg_p, _ = solve_joint(lum, [quants[0]], [(1, 1)], 0.3, [0.001], 30,
+                          use_pallas=True)
+    fg_x, _ = solve_joint(lum, [quants[0]], [(1, 1)], 0.3, [0.001], 30,
+                          use_pallas=False)
+    psnr = _psnr(fg_p, fg_x)
+    check("grayscale C=1 pallas-vs-xla", psnr > 55, f"psnr={psnr:.2f} dB")
+
     # --- mixed-size dynamic-extent bucket: one kernel, many sizes ---
     from jpeg2png_tpu.runner import solve_bucket
 
