@@ -158,6 +158,27 @@ def main():
         check("fused path vs reference binary (i50)", psnr > 45,
               f"psnr={psnr:.2f} dB")
 
+    # --- headline convergence: -i 1000, the reference's showcase
+    #     setting (README.md:85). Chaotic trajectory divergence shrinks
+    #     as both implementations converge to the same optimum ---
+    gold1k = FIXDIR / "golden" / "photo512_q10_420_i1000.png"
+    if gold1k.exists():
+        from jpeg2png_tpu.ops.color import ycbcr_to_rgb_packed
+        from tests.pngdec import decode_png
+        import jax.numpy as jnp
+
+        fd1k, _ = solve_joint(datas, quants, samps, 0.3, [0.001] * 3,
+                              1000, use_pallas=True)
+        fd1k = np.asarray(fd1k)
+        h, w = img.height, img.width
+        pix1k = np.asarray(ycbcr_to_rgb_packed(
+            jnp.asarray(fd1k[0, :h, :w] + 128.0),
+            jnp.asarray(fd1k[1, :h, :w]),
+            jnp.asarray(fd1k[2, :h, :w]), 8))
+        psnr = _psnr(pix1k, decode_png(gold1k.read_bytes()))
+        check("converged (-i 1000) vs reference binary", psnr > 55,
+              f"psnr={psnr:.2f} dB")
+
     # --- separate-components (-s) mode through the fused path ---
     from jpeg2png_tpu.models.solver import solve_separate
 
