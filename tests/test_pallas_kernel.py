@@ -252,3 +252,41 @@ def test_fused_iteration_matches_ops(interpret_pallas, samps, prob, weight,
         assert abs(float(tv2) - float(tv2_r)) / float(tv2_r) < 1e-4
     np.testing.assert_allclose(
         np.asarray(sumsq), np.asarray(norms) ** 2, rtol=1e-3)
+
+
+def test_fused_solve_random_geometries(interpret_pallas):
+    """Randomized block-grid fuzz over the padding machinery: every
+    valid 4:2:0 geometry must agree with the ops path after one
+    iteration and keep its padding at exactly zero."""
+    from jpeg2png_tpu.kernels.iter_step import fused_solve, supports
+
+    rng = np.random.default_rng(11)
+    tried = 0
+    for _ in range(8):
+        nby = int(rng.integers(8, 21)) * 2   # luma blocks (even for 420)
+        nbx = int(rng.integers(8, 21)) * 2
+        H, W = nby * 8, nbx * 8
+        samps = [(1, 1), (2, 2), (2, 2)]
+        if not supports(3, H, W, samps, True):
+            continue
+        tried += 1
+        datas = [rng.integers(-20, 20, (nby, nbx, 8, 8)).astype(np.int16),
+                 rng.integers(-9, 9, (nby // 2, nbx // 2, 8, 8)).astype(
+                     np.int16),
+                 rng.integers(-9, 9, (nby // 2, nbx // 2, 8, 8)).astype(
+                     np.int16)]
+        quants = [rng.integers(1, 50, (8, 8)).astype(np.uint16)
+                  for _ in range(3)]
+
+        from jpeg2png_tpu.models.solver import solve_joint
+        fp, mp_ = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 1,
+                              use_pallas=True)
+        fx, mx_ = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 1,
+                              use_pallas=False)
+        np.testing.assert_allclose(np.asarray(fp), np.asarray(fx),
+                                   atol=2e-2,
+                                   err_msg=f"geometry {H}x{W}")
+        np.testing.assert_allclose(
+            np.asarray(mp_)[0], np.asarray(mx_)[0], rtol=1e-4,
+            err_msg=f"metrics {H}x{W}")
+    assert tried >= 4, "fuzz loop never hit a supported geometry"
