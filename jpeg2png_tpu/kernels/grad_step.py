@@ -313,7 +313,7 @@ def _pick_stripe(h: int, w: int) -> int:
 
     HBM DMA slices must be 8-row aligned (Mosaic (8,128) tiling), so the
     halo is 8 rows per side even though the stencil only needs 2."""
-    budget = 12 * 1024 * 1024
+    budget = 48 * 1024 * 1024
     for sh in (256, 128, 64, 32, 16, 8):
         if 5 * 3 * (sh + 16) * w * 4 <= budget and h >= sh + 16:
             return sh

@@ -229,7 +229,7 @@ def _chunks(H: int, W: int, SH: int, sy: int, sx: int):
 
 def _pick_stripe(h: int, w: int, sy: int) -> int:
     """Largest SH dividing h, multiple of 8*sy, fitting VMEM."""
-    budget = 8 * 1024 * 1024
+    budget = 32 * 1024 * 1024
     for sh in (256, 128, 64, 32, 16, 8):
         if sh % (8 * sy) or h % sh:
             continue
