@@ -568,6 +568,17 @@ def _pallas_default(geoms: Tuple[ChannelGeometry, ...]) -> bool:
                     for sy, sx in samps))
 
 
+def transpose_problem(datas, quants, samps):
+    """The x<->y transposed problem: block grids and the entries of
+    every 8x8 block transpose, quant tables transpose, sampling factors
+    swap.  solve(transpose).swapaxes(1, 2) == solve(original) because
+    the whole objective is transpose-invariant."""
+    datas_t = [np.transpose(np.asarray(d), (1, 0, 3, 2)) for d in datas]
+    quants_t = [np.asarray(q).T for q in quants]
+    samps_t = [(sx, sy) for (sy, sx) in samps]
+    return datas_t, quants_t, samps_t
+
+
 def solve_joint(
     datas: Sequence[np.ndarray],
     quants: Sequence[np.ndarray],
@@ -594,7 +605,7 @@ def solve_joint(
         ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
         for d, (sy, sx) in zip(datas, samps)
     )
-    # Mosaic vector ops degrade ~2.7x once the lane dimension exceeds
+    # Mosaic vector ops can degrade once the lane dimension exceeds
     # 1024; the objective is transpose-invariant (TV/TGV2 are symmetric
     # in x/y, block DCTs of transposed blocks are transposed
     # coefficients), so landscape images solve transposed when that
@@ -602,10 +613,8 @@ def solve_joint(
     H, W = canvas_shape(geoms)
     if (jax.default_backend() == "tpu" and use_pallas is not False
             and W > 1024 and H < W):
-        datas_t = [np.transpose(np.asarray(d), (1, 0, 3, 2))
-                   for d in datas]
-        quants_t = [np.asarray(q).T for q in quants]
-        samps_t = [(sx, sy) for (sy, sx) in samps]
+        datas_t, quants_t, samps_t = transpose_problem(
+            datas, quants, samps)
         fdata, metrics = solve_joint(
             datas_t, quants_t, samps_t, weight, pweights, iterations,
             simd_compat_logging, dtype, use_pallas)

@@ -93,3 +93,27 @@ def test_result_stays_feasible():
     hi = (datas[0] + 0.5) * q
     viol = np.maximum(lo - coefs, coefs - hi) / q  # in quant-step units
     assert viol.max() < 1e-4, viol.max()
+
+
+def test_transpose_problem_invariance(fixtures_dir):
+    """solve(transposed).swapaxes == solve(original): the objective is
+    transpose-invariant, which is what lets the TPU path orient wide
+    images with the lane dimension in Mosaic's fast range."""
+    from jpeg2png_tpu.io import read_jpeg
+    from jpeg2png_tpu.models.solver import solve_joint, transpose_problem
+
+    img = read_jpeg(fixtures_dir / "photo80_q30_422.jpg")
+    datas = [p.data for p in img.planes]
+    quants = [p.quant for p in img.planes]
+    samps = [(p.h_samp, p.w_samp) for p in img.planes]
+
+    f1, m1 = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 4,
+                         use_pallas=False)
+    dt, qt, st = transpose_problem(datas, quants, samps)
+    f2, m2 = solve_joint(dt, qt, st, 0.3, [0.001] * 3, 4,
+                         use_pallas=False)
+    # f32 reduction order differs across the transposed layout, so
+    # exactness is to a few 1e-4 after 4 iterations
+    np.testing.assert_allclose(
+        np.asarray(f1), np.swapaxes(np.asarray(f2), 1, 2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-4)
