@@ -66,7 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--separate-components", action="store_true",
                    help="optimize components separately")
     p.add_argument("-t", "--threads", type=int, default=None,
-                   help="max host worker threads for multi-file batches")
+                   help="max host worker threads for multi-file batches "
+                        "(NOTE: differs from the reference, where -t "
+                        "bounds OpenMP solve threads; here each solve is "
+                        "one device dispatch and -t only sizes the host "
+                        "IO/decode pool)")
     p.add_argument("-1", "--16-bits-png", dest="png16", action="store_true",
                    help="output 16-bit PNG")
     p.add_argument("-c", "--csv-log", default=None, metavar="csv_log",
@@ -184,19 +188,25 @@ def main(argv=None) -> int:
     pairs = list(zip(args.inputs, outfiles))
     errors = []
     if args.tpu_batch and nin > 1 and not cfg.separate_components:
-        # one vmapped solve per geometry bucket (runner.py)
+        # one batched solve per geometry bucket (runner.py), with
+        # per-image error isolation: a corrupt member drops out with a
+        # stderr line and the rest of the bucket still solves
         from jpeg2png_tpu.io import write_png
         from jpeg2png_tpu.runner import decode_files_batched
-        try:
-            pixels = decode_files_batched(
-                args.inputs, cfg, bits,
-                io_threads=args.threads or 8, logger=logger)
-            for infile, outfile in pairs:
+
+        pixels = decode_files_batched(
+            args.inputs, cfg, bits,
+            io_threads=args.threads or 8, logger=logger, errors=errors)
+        for infile, outfile in pairs:
+            if infile not in pixels:
+                continue   # read/solve failure already recorded
+            try:
                 write_png(outfile, pixels[infile], bits)
-                if progress:
-                    progress.increment(cfg.iterations[0])
-        except (ValueError, OSError) as e:
-            errors.append(str(e))
+            except (ValueError, OSError) as e:
+                errors.append(f"{infile}: {e}")
+                continue
+            if progress:
+                progress.increment(cfg.iterations[0])
     # per-image error isolation: one bad file doesn't kill the batch
     # (improvement over the reference, where die() exits, SURVEY.md §5)
     elif args.threads and args.threads > 1 and nin > 1:

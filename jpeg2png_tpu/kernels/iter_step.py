@@ -417,9 +417,10 @@ def _kernel(
             if prob_mask[c]:
                 pi = prob_idx[c]
                 # q == 0 marks canvas padding (real tables reject zeros,
-                # jpeg.c:42); its boxes are lo == hi == 0 and it must
-                # contribute nothing to the prob term
-                iq = jnp.where(q > 0.0, 1.0 / q, 0.0)
+                # jpeg.c:42) and q >= 2^39 the FREE region-gap sentinel;
+                # both must contribute EXACTLY zero to the prob term
+                # (the two-kernel tier zeroes its padded iq the same way)
+                iq = jnp.where((q > 0.0) & (q < 2.0 ** 39), 1.0 / q, 0.0)
                 devp = (clamped - dq) * iq
                 acc[C + 2 + pi] = acc[C + 2 + pi] + 0.5 * jnp.sum(
                     devp * devp)
@@ -454,12 +455,16 @@ def _kernel(
 
 
 def _tcs(W: int, samps) -> tuple:
-    """Per-channel coef-space column tile width."""
-    out = []
+    """Per-channel coef-space column tile width.
+
+    Always 128: _pad_shape pads W to 128*max_sx and legal JPEG w_samps
+    divide max_sx, so every channel's coef width is a 128-multiple.
+    Enforced here because the kernel hard-codes 128-wide B tiles
+    (_ab_tiles(SH, sy, 128, sx)) — a non-128 tile would mismatch the
+    _dot3 contraction shapes at trace time."""
     for sy, sx in samps:
-        wc = W // sx
-        out.append(128 if wc % 128 == 0 else wc)
-    return tuple(out)
+        assert (W // sx) % 128 == 0, (W, sx)
+    return tuple(128 for _ in samps)
 
 
 def _pad_shape(H: int, W: int, samps):

@@ -24,12 +24,18 @@ import jax
 import numpy as np
 
 from jpeg2png_tpu.models.solver import (
-    ChannelGeometry, _build_solver_impl, _pallas_default,
+    ChannelGeometry, _build_solver_impl, _pallas_default, active_tier,
 )
 
 
 def _fingerprint(geoms, weight, pweights, iterations, use_pallas) -> str:
-    blob = repr((geoms, weight, tuple(pweights), iterations,
+    # the fingerprint includes the carry-format version AND the active
+    # solver tier: each tier stores a differently-shaped prob carry
+    # (coef-space devq / pixel-space pgrad / clamped cos), so a
+    # checkpoint from another tier or an older format must be rejected
+    # with the clear config-mismatch error, not silently reinterpreted
+    blob = repr(("carry-v2", active_tier(geoms, use_pallas),
+                 geoms, weight, tuple(pweights), iterations,
                  use_pallas)).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -90,6 +90,50 @@ def canvas_shape(geoms: Sequence[ChannelGeometry]) -> Tuple[int, int]:
     return (max(g.region_h for g in geoms), max(g.region_w for g in geoms))
 
 
+def objective_alphas(
+    weight: float, pweights: Sequence[float], nchannel: int,
+) -> Tuple[list, float]:
+    """(p_alphas, total_alpha) — the objective-term scale factors
+    (compute.c:223-275: p_alpha = pweight*2*255*sqrt(2) per channel,
+    total_alpha = sum of active p_alphas + C [TV] + C*w/sqrt(2) [TGV2]).
+    The single source of truth shared by every solve path."""
+    p_alphas = [pw * 2.0 * 255.0 * math.sqrt(2.0) for pw in pweights]
+    total_alpha = sum(pa for pa in p_alphas if pa != 0.0) + nchannel
+    if weight != 0.0:
+        total_alpha += (weight / math.sqrt(2.0)) * nchannel
+    return p_alphas, total_alpha
+
+
+def mega_metrics(partials, prob_dist_prev, p_alphas, total_alpha,
+                 simd_compat_logging: bool, xp=jnp):
+    """CSV metrics from the fused kernel's partials.
+
+    partials: [nsteps, >= C+2+P] rows [sumsq_0..C-1, tv, tv2, dist_p0,
+    ...] (kernels/iter_step.py).  The reference logs the prob distance
+    computed from the PREVIOUS projection's clamped coefs
+    (compute.c:381, :37), hence the one-row shift seeded with
+    `prob_dist_prev`.  Returns (metrics [nsteps, 4] with columns
+    (objective, prob_dist, tv, tv2) — logger.c:13 — and the final
+    prob_dist to carry).  Works on jnp (in-trace) and np (host) alike.
+    """
+    nchannel = len(p_alphas)
+    tv = partials[:, nchannel]
+    tv2 = partials[:, nchannel + 1]
+    dist_total = xp.zeros_like(tv)
+    for pi, c in enumerate(
+            c for c in range(nchannel) if p_alphas[c] != 0.0):
+        d = partials[:, nchannel + 2 + pi]
+        if not simd_compat_logging:
+            d = p_alphas[c] * d
+        dist_total = dist_total + d
+    prob_col = xp.concatenate(
+        [xp.reshape(xp.asarray(prob_dist_prev, dtype=tv.dtype), (1,)),
+         dist_total[:-1]])
+    objective = (tv + tv2 + prob_col) / total_alpha
+    metrics = xp.stack([objective, prob_col, tv, tv2], axis=1)
+    return metrics, dist_total[-1]
+
+
 def initial_decode(data: jnp.ndarray, quant: jnp.ndarray) -> jnp.ndarray:
     """Plain JPEG decode of one channel: dequantize + IDCT (jpeg.c:83-92).
 
@@ -130,10 +174,7 @@ def _build_solver_impl(
     radius = math.sqrt(float(H) * float(W)) / 2.0
     step_size = radius / math.sqrt(1.0 + iterations)
 
-    p_alphas = [pw * 2.0 * 255.0 * math.sqrt(2.0) for pw in pweights]
-    total_alpha = sum(pa for pa in p_alphas if pa != 0.0) + nchannel
-    if weight != 0.0:
-        total_alpha += (weight / math.sqrt(2.0)) * nchannel
+    p_alphas, total_alpha = objective_alphas(weight, pweights, nchannel)
 
     def solve_impl(datas, quants, carry_in, nsteps):
         f32 = jnp.dtype(dtype)
@@ -299,7 +340,6 @@ def _build_solver_impl(
             pa_ss = tuple(
                 p_alphas[c] * g.h_samp * g.w_samp
                 for c, g in enumerate(geoms))
-            prob_cs = [c for c in range(nchannel) if p_alphas[c] != 0.0]
             if fresh:
                 # fresh start: t0 == 1 statically, so the whole factor
                 # sequence is a trace-time constant (the device scalar
@@ -314,23 +354,11 @@ def _build_solver_impl(
                 step_size, data_arr, q_arr,
                 pa_ss, [(g.h_samp, g.w_samp) for g in geoms], weight)
 
-            # partials columns: sumsq_0..C-1, tv, tv2, dist_p0, ...
-            tv = partials[:, nchannel]
-            tv2 = partials[:, nchannel + 1]
-            dist_total = jnp.zeros((nsteps,), jnp.float32)
-            for pi, c in enumerate(prob_cs):
-                d = partials[:, nchannel + 2 + pi]
-                if not simd_compat_logging:
-                    d = p_alphas[c] * d
-                dist_total = dist_total + d
-            # the reference logs the prob distance computed from the
-            # PREVIOUS projection's clamped coefs (compute.c:381, :37)
-            prob_col = jnp.concatenate(
-                [jnp.reshape(prob_dist, (1,)), dist_total[:-1]])
-            objective = (tv + tv2 + prob_col) / jnp.float32(total_alpha)
-            metrics = jnp.stack([objective, prob_col, tv, tv2], axis=1)
+            metrics, dist_final = mega_metrics(
+                partials, prob_dist, p_alphas, total_alpha,
+                simd_compat_logging)
             carry = (tuple(fnews), tuple(fistas_out), tuple(devqs_out),
-                     dist_total[-1], t_final)
+                     dist_final, t_final)
             return carry, metrics
 
         def make_body_pallas(W2, los2, his2, dqs2, iqs2, assume_full):
@@ -549,23 +577,37 @@ def _build_solver(
     return jax.jit(solve)
 
 
-def _pallas_default(geoms: Tuple[ChannelGeometry, ...]) -> bool:
-    """Use the fused Pallas path on TPU when the geometry supports it."""
-    if jax.default_backend() != "tpu":
-        return False
+def active_tier(geoms: Tuple[ChannelGeometry, ...],
+                use_pallas: bool) -> str:
+    """Which solver tier (and therefore carry pytree format) solve_impl
+    will pick: 'mega' (whole-solve kernel, coef-space devq carry), 'two'
+    (two-kernel pipeline, [H, W2] pixel-space pgrad carry) or 'xla'
+    ([C, H, W] stack + clamped-DCT cos carry).  Mirrors solve_impl's
+    gating exactly; checkpoint fingerprints include this so a carry
+    written by one tier is never reinterpreted by another."""
+    if not use_pallas:
+        return "xla"
     from jpeg2png_tpu.kernels import grad_step, iter_step, project_step
 
     H, W = canvas_shape(geoms)
     samps = [(g.h_samp, g.w_samp) for g in geoms]
     if iter_step.supports(len(geoms), H, W, samps, True):
-        return True
-    # the W-padded two-kernel tier (mirrors solve_impl's gating)
+        return "mega"
     wq = 128 * max(sx for _, sx in samps)
     W2 = -(-W // wq) * wq
-    return (H % 8 == 0
+    if (H % 8 == 0
             and grad_step.supports(len(geoms), H, W2)
             and all(project_step.supports(H, W2, sy, sx) and H % sy == 0
-                    for sy, sx in samps))
+                    for sy, sx in samps)):
+        return "two"
+    return "xla"
+
+
+def _pallas_default(geoms: Tuple[ChannelGeometry, ...]) -> bool:
+    """Use the fused Pallas path on TPU when the geometry supports it."""
+    if jax.default_backend() != "tpu":
+        return False
+    return active_tier(geoms, True) != "xla"
 
 
 def transpose_problem(datas, quants, samps):

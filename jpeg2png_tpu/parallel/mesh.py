@@ -27,6 +27,17 @@ def stripe_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), ("y",))
 
 
+def batch_mesh(n_devices: Optional[int] = None,
+               devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh with axis "batch" — pure data parallelism over images
+    (the reference's OpenMP-over-files analog, jpeg2png.c:330-337)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("batch",))
+
+
 def batch_stripe_mesh(n_batch: int, n_stripe: int,
                       devices: Optional[Sequence] = None) -> Mesh:
     """2-D mesh ("batch", "y")."""

@@ -4,51 +4,152 @@ The multi-chip scaling path (BASELINE.json config 5: a giant image
 sharded into row stripes across N >= 2 hosts).  Each device owns a
 contiguous band of rows of every channel; per iteration:
 
-  * 1 halo exchange of 2 boundary rows of the extrapolated iterate
-    (jax.lax.ppermute — ICI neighbours; devices at the global image
-    boundary receive zeros, which the gather masks treat as
-    "outside the image"),
-  * TV/TGV2 gather gradient on the halo-extended band (ops/tv_halo.py),
+  * 1 halo exchange of boundary rows of the iterate (jax.lax.ppermute —
+    ICI neighbours; devices at the global image boundary receive zeros,
+    which the gather masks treat as "outside the image"),
+  * the fused TV/TGV2 gradient on the halo-extended band — on TPU via
+    the striped Pallas kernel (kernels/stripe_grad.py), so every chip
+    runs at fused-kernel throughput; pure-XLA fallback via
+    ops/tv_halo.py elsewhere,
   * 1 psum for the per-channel gradient norms — the step normalization
     is GLOBAL over the whole image (compute.c:200-216), this is the
     collective the reference's shared-memory design gets for free,
   * 1 psum for the objective sums (tv, tv2, prob_dist),
-  * block-local DCT box projection and prob gradient per band (stripe
-    boundaries are 8*h_samp-aligned by construction so 8x8 blocks and
-    subsampling footprints never straddle devices).
+  * block-local DCT box projection and prob gradient per band — on TPU
+    via kernels/project_step.py (stripe boundaries are 8*h_samp-aligned
+    by construction so 8x8 blocks and subsampling footprints never
+    straddle devices).
 
-Alignment requirement: H % (n_devices * 8 * max_h_samp) == 0 — the
-caller pads/bucketizes giant inputs to this grid.  All channels must
-cover the full canvas (true for aligned inputs).
+Arbitrary geometry: the canvas is zero-padded to the stripe grid
+(H2 % (n * 8 * lcm(h_samps)) == 0, W2 % (128 * lcm(w_samps)) == 0) with
+the frozen-zero / FREE-sentinel box algebra of the single-chip kernels
+(kernels/iter_step.py): padded coefficients carry lo == hi == 0 boxes
+(pixels frozen at exactly 0), channels whose region is smaller than the
+canvas carry unconstrained +-2^39 boxes over the gap, and the gradient
+kernels zero everything outside the true canvas.  Any image stripes.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from jpeg2png_tpu.models.solver import ChannelGeometry, canvas_shape
+from jpeg2png_tpu.models.solver import (
+    ChannelGeometry, canvas_shape, objective_alphas,
+)
 from jpeg2png_tpu.ops.blocks import deblockify
 from jpeg2png_tpu.ops.dct_raster import (
     idct_raster, sampled_dct, sampled_idct_up,
 )
-from jpeg2png_tpu.ops.resample import upsample_replicate
+from jpeg2png_tpu.ops.resample import upsample_nearest_clamped
 from jpeg2png_tpu.ops.tv_halo import grad_gather_halo
+
+_BIG = jnp.float32(2.0 ** 39)   # FREE box half-width for region gaps
+
+
+def _lcm(vals) -> int:
+    out = 1
+    for v in vals:
+        out = math.lcm(out, int(v))
+    return out
+
+
+def padded_striped_shape(
+    geoms: Tuple[ChannelGeometry, ...], n: int,
+) -> Tuple[int, int, int, int, int]:
+    """(H, W, H2, W2, L): true canvas, padded striped canvas, band rows.
+
+    H2: rows divisible by n bands of L rows, L aligned to 8*lcm(h_samp)
+    so every channel's 8x8 block rows and subsampling footprints stay
+    device-local.  W2: width aligned to 128*lcm(w_samp) (Mosaic lane
+    tiles at every channel's coefficient resolution).
+    """
+    H, W = canvas_shape(geoms)
+    unit_h = 8 * _lcm(g.h_samp for g in geoms)
+    unit_w = 128 * _lcm(g.w_samp for g in geoms)
+    H2 = -(-H // (n * unit_h)) * (n * unit_h)
+    W2 = -(-W // unit_w) * unit_w
+    return H, W, H2, W2, H2 // n
 
 
 def stripes_supported(geoms: Tuple[ChannelGeometry, ...], n: int) -> bool:
+    """Whether this geometry can stripe over n devices at all (the
+    padding algebra makes that nearly always true)."""
     H, W = canvas_shape(geoms)
-    align = n * 8 * max(g.h_samp for g in geoms)
-    if H % align or W % 8:
+    return (n >= 1
+            and all(H % g.h_samp == 0 and W % g.w_samp == 0
+                    for g in geoms))
+
+
+def pallas_striped_supported(
+    geoms: Tuple[ChannelGeometry, ...], n: int,
+) -> bool:
+    """Whether the fused Pallas striped body covers this geometry."""
+    from jpeg2png_tpu.kernels import project_step, stripe_grad
+
+    if not stripes_supported(geoms, n):
         return False
-    # every channel must cover the full canvas
-    return all(g.region_h == H and g.region_w == W for g in geoms)
+    _, _, _, W2, L = padded_striped_shape(geoms, n)
+    if not stripe_grad.supports(len(geoms), L, W2):
+        return False
+    return all(
+        project_step.supports(L, W2, g.h_samp, g.w_samp)
+        and L % (8 * g.h_samp) == 0
+        for g in geoms)
+
+
+def _padded_consts(datas, quants, geoms, H, W, H2, W2):
+    """Per-channel (dq, lo, hi, iq) at padded-coef shape plus the
+    initial canvas f0 [C, H2, W2].
+
+    Three zones per channel (kernels/iter_step.py algebra):
+      * true region: real boxes lo/hi = data*q -+ q/2, iq = 1/q;
+      * region -> true-canvas gap: FREE boxes (+-2^39), iq = 0 — those
+        canvas pixels evolve unconstrained (compute.c:349-403 bounds);
+      * canvas padding: lo == hi == 0, iq = 0 — frozen at exactly 0.
+    """
+    f32 = jnp.float32
+    dqs, los, his, iqs = [], [], [], []
+    f0s = []
+    for d, q, g in zip(datas, quants, geoms):
+        sy, sx = g.h_samp, g.w_samp
+        q_r = jnp.tile(q.astype(f32), (g.nby, g.nbx))
+        dq = deblockify(d.astype(f32)) * q_r
+        lo = dq - 0.5 * q_r
+        hi = dq + 0.5 * q_r
+        iq = 1.0 / q_r
+        hc_t, wc_t = H // sy, W // sx
+        if dq.shape != (hc_t, wc_t):
+            pad = ((0, hc_t - dq.shape[0]), (0, wc_t - dq.shape[1]))
+            lo = jnp.pad(lo, pad, constant_values=-_BIG)
+            hi = jnp.pad(hi, pad, constant_values=_BIG)
+            dq = jnp.pad(dq, pad)
+            iq = jnp.pad(iq, pad)
+        hc_p, wc_p = H2 // sy, W2 // sx
+        if (hc_p, wc_p) != (hc_t, wc_t):
+            pad = ((0, hc_p - hc_t), (0, wc_p - wc_t))
+            lo = jnp.pad(lo, pad)
+            hi = jnp.pad(hi, pad)
+            dq = jnp.pad(dq, pad)
+            iq = jnp.pad(iq, pad)
+        dqs.append(dq)
+        los.append(lo)
+        his.append(hi)
+        iqs.append(iq)
+        # plain decode, nearest-upsampled + edge-clamped to the true
+        # canvas (compute.c:296-302), zero-padded to the striped grid
+        dec = upsample_nearest_clamped(
+            idct_raster(deblockify(d.astype(f32))
+                        * jnp.tile(q.astype(f32), (g.nby, g.nbx))),
+            sy, sx, H, W)
+        f0s.append(jnp.pad(dec, ((0, H2 - H), (0, W2 - W))))
+    return dqs, los, his, iqs, jnp.stack(f0s)
 
 
 @functools.lru_cache(maxsize=16)
@@ -59,38 +160,28 @@ def _build_striped(
     iterations: int,
     simd_compat_logging: bool,
     mesh: Mesh,
+    use_pallas: bool,
 ):
     nchannel = len(geoms)
-    H, W = canvas_shape(geoms)
     n = mesh.shape["y"]
-    assert stripes_supported(geoms, n), (geoms, n)
-    L = H // n  # full-res rows per device
+    H, W, H2, W2, L = padded_striped_shape(geoms, n)
 
+    # step size keys on the TRUE canvas (compute.c:425)
     radius = math.sqrt(float(H) * float(W)) / 2.0
     step_size = radius / math.sqrt(1.0 + iterations)
-    p_alphas = [pw * 2.0 * 255.0 * math.sqrt(2.0) for pw in pweights]
-    total_alpha = sum(pa for pa in p_alphas if pa != 0.0) + nchannel
-    if weight != 0.0:
-        total_alpha += (weight / math.sqrt(2.0)) * nchannel
+    p_alphas, total_alpha = objective_alphas(weight, pweights, nchannel)
 
     up_perm = [(i, i + 1) for i in range(n - 1)]    # my bottom rows -> next
     down_perm = [(i + 1, i) for i in range(n - 1)]  # my top rows -> prev
 
-    def shard_body(*consts_and_f0):
-        """Runs per device under shard_map; args are local shards."""
-        dqs = consts_and_f0[0:nchannel]
-        los = consts_and_f0[nchannel:2 * nchannel]
-        his = consts_and_f0[2 * nchannel:3 * nchannel]
-        inv_qs = consts_and_f0[3 * nchannel:4 * nchannel]
-        f0 = consts_and_f0[4 * nchannel]      # [C, L, W] local band
+    def fista_factor(t):
+        tnext = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+        return tnext, (t - 1.0) / tnext
 
-        idx = jax.lax.axis_index("y")
-        row0 = idx * L
-
-        def fista_factor(t):
-            tnext = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
-            return tnext, (t - 1.0) / tnext
-
+    def make_project(los, his, dqs, iqs):
+        """Per-channel normalized-step output -> (fnew, pgrad, dist):
+        XLA form shared by both bodies; the Pallas body overrides with
+        kernels/project_step.py."""
         def project_prob(c, g, fmid_c):
             sy, sx = g.h_samp, g.w_samp
             ss = float(sy * sx)
@@ -98,84 +189,148 @@ def _build_striped(
             clamped = jnp.clip(coefs, los[c], his[c])
             fnew = fmid_c + ss * sampled_idct_up(clamped - coefs, sy, sx)
             if p_alphas[c] == 0.0:
-                return fnew, jnp.zeros_like(fmid_c), jnp.float32(0.0)
-            devp = (clamped - dqs[c]) * inv_qs[c]
+                return fnew, None, jnp.float32(0.0)
+            devp = (clamped - dqs[c]) * iqs[c]
             dist = 0.5 * jnp.sum(devp * devp, dtype=jnp.float32)
             if not simd_compat_logging:
                 dist = p_alphas[c] * dist
             pgrad = (p_alphas[c] * ss) * sampled_idct_up(
-                devp * inv_qs[c], sy, sx)
+                devp * iqs[c], sy, sx)
             return fnew, pgrad, dist
+        return project_prob
 
-        def body(carry, _):
-            fdata, fista, pgrad, prob_dist, t = carry
+    def shard_body(*consts_and_f0):
+        """Runs per device under shard_map; args are local shards."""
+        dqs = consts_and_f0[0:nchannel]
+        los = consts_and_f0[nchannel:2 * nchannel]
+        his = consts_and_f0[2 * nchannel:3 * nchannel]
+        iqs = consts_and_f0[3 * nchannel:4 * nchannel]
+        f0 = consts_and_f0[4 * nchannel]      # [C, L, W2] local band
+
+        idx = jax.lax.axis_index("y")
+        row0 = idx * L
+        project_prob = make_project(los, his, dqs, iqs)
+        prob_on = [p_alphas[c] != 0.0 for c in range(nchannel)]
+
+        def finish_iteration(extraps, grads, sumsq_l, tv_l, tv2_l,
+                             fdatas, prob_dist, tnext):
+            """Global psums + normalized step + projection; shared by
+            the Pallas and XLA bodies (everything after the gradient)."""
+            sumsq = jax.lax.psum(sumsq_l, "y")
+            tv = jax.lax.psum(tv_l, "y")
+            tv2 = jax.lax.psum(tv2_l, "y")
+            norms = jnp.sqrt(sumsq)
+            scale = jnp.where(norms == 0.0, 0.0, step_size / norms)
+
+            new_f, new_pg = [], []
+            dist_local = jnp.float32(0.0)
+            for c, g in enumerate(geoms):
+                if use_pallas:
+                    from jpeg2png_tpu.kernels import project_step
+                    fn, pg, d = project_step.fused_project(
+                        extraps[c], grads[c], scale[c], los[c], his[c],
+                        dqs[c] if prob_on[c] else None,
+                        iqs[c] if prob_on[c] else None,
+                        (p_alphas[c] * g.h_samp * g.w_samp
+                         if prob_on[c] else 0.0),
+                        g.h_samp, g.w_samp)
+                    if prob_on[c] and not simd_compat_logging:
+                        d = p_alphas[c] * d
+                else:
+                    fmid = extraps[c] - grads[c] * scale[c]
+                    fn, pg, d = project_prob(c, g, fmid)
+                new_f.append(fn)
+                if pg is not None:
+                    new_pg.append(pg)
+                dist_local = dist_local + d
+            prob_dist_next = jax.lax.psum(dist_local, "y")
+
+            objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
+            metrics = jnp.stack([objective, prob_dist, tv, tv2])
+            carry = (tuple(new_f), tuple(fdatas), tuple(new_pg),
+                     prob_dist_next, tnext)
+            return carry, metrics
+
+        def body_pallas(carry, _):
+            from jpeg2png_tpu.kernels.stripe_grad import fused_grad_striped
+
+            fdatas, fistas, pgrads, prob_dist, t = carry
             tnext, factor = fista_factor(t)
-            extrap = fdata + factor * (fdata - fista)
+
+            # --- 8-row halo exchange over ICI (zeros at boundaries);
+            #     8 not 2 because DMA row slices must be 8-aligned ---
+            f_tops = [jax.lax.ppermute(f[-8:, :], "y", up_perm)
+                      for f in fdatas]
+            f_bots = [jax.lax.ppermute(f[:8, :], "y", down_perm)
+                      for f in fdatas]
+            fi_tops = [jax.lax.ppermute(f[-8:, :], "y", up_perm)
+                       for f in fistas]
+            fi_bots = [jax.lax.ppermute(f[:8, :], "y", down_perm)
+                       for f in fistas]
+
+            pg_in, k = [], 0
+            for c in range(nchannel):
+                if prob_on[c]:
+                    pg_in.append(pgrads[k])
+                    k += 1
+                else:
+                    pg_in.append(None)
+            grads, extraps, sumsq_l, tv_l, tv2_l = fused_grad_striped(
+                list(fdatas), list(fistas), pg_in,
+                (f_tops, f_bots, fi_tops, fi_bots),
+                factor, row0, weight, H, W)
+            return finish_iteration(
+                extraps, grads, sumsq_l, tv_l, tv2_l,
+                fdatas, prob_dist, tnext)
+
+        def body_xla(carry, _):
+            fdatas, fistas, pgrads, prob_dist, t = carry
+            tnext, factor = fista_factor(t)
+            fstack = jnp.stack(fdatas)
+            extrap = fstack + factor * (fstack - jnp.stack(fistas))
 
             # --- 2-row halo exchange over ICI (zeros at boundaries) ---
             top_halo = jax.lax.ppermute(extrap[:, -2:, :], "y", up_perm)
             bot_halo = jax.lax.ppermute(extrap[:, :2, :], "y", down_perm)
             ext = jnp.concatenate([top_halo, extrap, bot_halo], axis=1)
 
-            grad, tv_p, tv2_p = grad_gather_halo(ext, row0, H, weight)
-            grad = grad + pgrad
+            grad, tv_l, tv2_l = grad_gather_halo(
+                ext, row0, H, weight, w_true=W)
+            k = 0
+            for c in range(nchannel):
+                if prob_on[c]:
+                    grad = grad.at[c].add(pgrads[k])
+                    k += 1
+            sumsq_l = jnp.sum(grad * grad, axis=(1, 2))
+            return finish_iteration(
+                [extrap[c] for c in range(nchannel)],
+                [grad[c] for c in range(nchannel)],
+                sumsq_l, tv_l, tv2_l, fdatas, prob_dist, tnext)
 
-            # --- global norms / objective sums (the one global
-            #     synchronization the algorithm truly needs) ---
-            sumsq = jax.lax.psum(
-                jnp.sum(grad * grad, axis=(1, 2)), "y")
-            tv = jax.lax.psum(tv_p, "y")
-            tv2 = jax.lax.psum(tv2_p, "y")
-
-            norms = jnp.sqrt(sumsq)
-            scale = jnp.where(norms == 0.0, 0.0, step_size / norms)
-            fmid = extrap - grad * scale[:, None, None]
-
-            new_f = []
-            new_pg = []
-            dist_local = jnp.float32(0.0)
-            for c, g in enumerate(geoms):
-                fn, pg, d = project_prob(c, g, fmid[c])
-                new_f.append(fn)
-                new_pg.append(pg)
-                dist_local = dist_local + d
-            prob_dist_next = jax.lax.psum(dist_local, "y")
-
-            objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
-            metrics = jnp.stack([objective, prob_dist, tv, tv2])
-            carry = (jnp.stack(new_f), fdata, jnp.stack(new_pg),
-                     prob_dist_next, tnext)
-            return carry, metrics
-
-        init = (f0, f0, jnp.zeros_like(f0), jnp.float32(0.0),
-                jnp.float32(1.0))
+        f0s = tuple(f0[c] for c in range(nchannel))
+        pg0 = tuple(jnp.zeros((L, W2), jnp.float32)
+                    for c in range(nchannel) if prob_on[c])
+        init = (f0s, f0s, pg0, jnp.float32(0.0), jnp.float32(1.0))
         (fdata, _, _, _, _), metrics = jax.lax.scan(
-            body, init, None, length=iterations)
-        return fdata, metrics
+            body_pallas if use_pallas else body_xla, init, None,
+            length=iterations)
+        return jnp.stack(fdata), metrics
 
     from jax.experimental.shard_map import shard_map
 
     sharded = shard_map(
         shard_body, mesh=mesh,
-        in_specs=tuple([P("y", None)] * (4 * nchannel) + [P(None, "y", None)]),
+        in_specs=tuple([P("y", None)] * (4 * nchannel)
+                       + [P(None, "y", None)]),
         out_specs=(P(None, "y", None), P()),
         check_rep=False,
     )
 
     def solve(datas, quants):
-        f32 = jnp.float32
-        q_rs = [jnp.tile(q.astype(f32), (g.nby, g.nbx))
-                for q, g in zip(quants, geoms)]
-        data_rs = [deblockify(d.astype(f32)) for d in datas]
-        dqs = [dr * qr for dr, qr in zip(data_rs, q_rs)]
-        los = [dq - 0.5 * qr for dq, qr in zip(dqs, q_rs)]
-        his = [dq + 0.5 * qr for dq, qr in zip(dqs, q_rs)]
-        inv_qs = [1.0 / qr for qr in q_rs]
-        f0 = jnp.stack([
-            upsample_replicate(idct_raster(dq), g.h_samp, g.w_samp)
-            for dq, g in zip(dqs, geoms)
-        ])
-        return sharded(*dqs, *los, *his, *inv_qs, f0)
+        dqs, los, his, iqs, f0 = _padded_consts(
+            datas, quants, geoms, H, W, H2, W2)
+        fdata, metrics = sharded(*dqs, *los, *his, *iqs, f0)
+        return fdata[:, :H, :W], metrics
 
     return jax.jit(solve)
 
@@ -189,15 +344,24 @@ def solve_striped(
     iterations: int,
     mesh: Mesh,
     simd_compat_logging: bool = True,
+    use_pallas: Optional[bool] = None,
 ):
     """Striped multi-device solve.  Same contract as solve_joint."""
     geoms = tuple(
         ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
         for d, (sy, sx) in zip(datas, samps)
     )
+    n = mesh.shape["y"]
+    if not stripes_supported(geoms, n):
+        raise ValueError(
+            f"geometry {geoms} cannot be striped over {n} devices")
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and pallas_striped_supported(geoms, n))
     solver = _build_striped(
         geoms, float(weight), tuple(float(p) for p in pweights),
         int(iterations), bool(simd_compat_logging), mesh,
+        bool(use_pallas),
     )
     return solver(
         [jnp.asarray(d) for d in datas],

@@ -46,18 +46,11 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
 
     metrics_out = {}
     if stripes > 1 and (not cfg.separate_components or C == 1):
-        from jpeg2png_tpu.models.solver import ChannelGeometry
         from jpeg2png_tpu.parallel.mesh import stripe_mesh
-        from jpeg2png_tpu.parallel.stripes import (
-            solve_striped, stripes_supported)
+        from jpeg2png_tpu.parallel.stripes import solve_striped
 
-        geoms = tuple(ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
-                      for d, (sy, sx) in zip(datas, samps))
-        if not stripes_supported(geoms, stripes):
-            raise ValueError(
-                f"image geometry {geoms} cannot be striped over "
-                f"{stripes} devices (needs H % {stripes * 8}*h_samp == 0 "
-                "and full-canvas channels)")
+        # any geometry stripes: solve_striped zero-pads the canvas to
+        # the stripe grid with frozen/FREE boxes and crops afterwards
         fdata, metrics = solve_striped(
             datas, quants, samps, cfg.weights[0], cfg.pweights[:C],
             cfg.iterations[0], stripe_mesh(stripes),

@@ -48,6 +48,45 @@ class BatchResult:
     metrics: np.ndarray   # [B, iterations, 4]
 
 
+def dp_degree(B: int, requested: Optional[int] = None) -> int:
+    """Data-parallel width for a B-image bucket: how many devices of
+    the default backend to spread the batch over (the reference's
+    "almost linear" OpenMP-over-files scaling, jpeg2png.c:330-337,
+    mapped onto the device mesh)."""
+    n = len(jax.devices())
+    if requested is not None:
+        n = min(n, requested)
+    return max(1, min(n, B))
+
+
+def _dp_wrap(body, n_dp: int):
+    """jit(body) for n_dp == 1; otherwise shard_map over an n_dp-device
+    "batch" mesh — each device solves its shard of the stacked inputs
+    locally (no collectives: images are independent)."""
+    if n_dp <= 1:
+        return jax.jit(body)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from jpeg2png_tpu.parallel.mesh import batch_mesh
+
+    mesh = batch_mesh(n_dp)
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P("batch"), out_specs=P("batch"),
+        check_rep=False))
+
+
+def _pad_batch(arrays_tree, B: int, n_dp: int):
+    """Pad the leading batch dim to a multiple of n_dp by repeating the
+    first member (cropped off the results)."""
+    pad = (-B) % n_dp
+    if pad == 0:
+        return arrays_tree
+    return jax.tree.map(
+        lambda a: np.concatenate([a, np.repeat(a[:1], pad, axis=0)]),
+        arrays_tree)
+
+
 def solve_batched(
     datas: Sequence[Sequence[np.ndarray]],   # [B][C] int16 coef tensors
     quants: Sequence[Sequence[np.ndarray]],  # [B][C] uint16 tables
@@ -57,8 +96,11 @@ def solve_batched(
     iterations: int,
     simd_compat_logging: bool = True,
     use_pallas: Optional[bool] = None,
+    data_parallel: Optional[int] = None,
 ) -> BatchResult:
-    """Solve B same-geometry images in one vmapped compiled step."""
+    """Solve B same-geometry images in one batched compiled step,
+    sharded over the available devices (data_parallel bounds the device
+    count; default all)."""
     from jpeg2png_tpu.models.solver import _pallas_default
 
     geoms = tuple(
@@ -73,21 +115,25 @@ def solve_batched(
         bool(use_pallas),
     )
     C = len(samps)
-    stacked_d = [jnp.asarray(np.stack([b[c] for b in datas]))
-                 for c in range(C)]
-    stacked_q = [jnp.asarray(np.stack([b[c] for b in quants]))
-                 for c in range(C)]
+    B = len(datas)
+    n_dp = dp_degree(B, data_parallel)
+    stacked = (
+        [np.stack([np.asarray(b[c]) for b in datas]) for c in range(C)],
+        [np.stack([np.asarray(b[c]) for b in quants]) for c in range(C)],
+    )
+    stacked = _pad_batch(stacked, B, n_dp)
     if use_pallas:
         # the manual-DMA Pallas kernels do not vmap under this Mosaic
-        # version, but they run fine under lax.map: one dispatch, each
-        # image solved at full fused-kernel speed (~3x the vmapped XLA
-        # path per image)
-        batched = jax.jit(lambda ds, qs: jax.lax.map(
-            lambda t: solver(t[0], t[1]), (ds, qs)))
+        # version, but they run fine under lax.map: one dispatch per
+        # device, each image solved at full fused-kernel speed (~3x the
+        # vmapped XLA path per image)
+        def body(ds, qs):
+            return jax.lax.map(lambda t: solver(t[0], t[1]), (ds, qs))
     else:
-        batched = jax.jit(jax.vmap(solver, in_axes=([0] * C, [0] * C)))
-    fdata, metrics = batched(stacked_d, stacked_q)
-    return BatchResult(np.asarray(fdata), np.asarray(metrics))
+        body = jax.vmap(solver, in_axes=([0] * C, [0] * C))
+    batched = _dp_wrap(body, n_dp)
+    fdata, metrics = batched(*jax.tree.map(jnp.asarray, stacked))
+    return BatchResult(np.asarray(fdata)[:B], np.asarray(metrics)[:B])
 
 
 def decode_files_batched(
@@ -96,18 +142,36 @@ def decode_files_batched(
     bits: int = 8,
     io_threads: int = 8,
     logger=None,
+    errors: Optional[List[str]] = None,
+    data_parallel: Optional[int] = None,
 ) -> Dict[str, "np.ndarray"]:
     """Read, bucket, batch-solve and color-convert many files.
 
     Returns {infile: pixels}.  Joint mode only (separate-components
     batching would triple the bucket count for little gain).
+
+    Error isolation: when `errors` is a list, a file that fails to read
+    (or a bucket that fails to solve) drops out with a message appended
+    to it and the remaining files still decode — the improvement over
+    the reference's die()-and-exit (utils.c:11-40).  With errors=None
+    the first failure raises (library behavior).
     """
     from jpeg2png_tpu.ops.color import gray_packed, ycbcr_to_rgb_packed
 
     from jpeg2png_tpu.kernels import iter_step
+    from jpeg2png_tpu.models.solver import ChannelGeometry, canvas_shape
+
+    def read_one(f):
+        if errors is None:
+            return read_jpeg(f)
+        try:
+            return read_jpeg(f)
+        except (ValueError, OSError) as e:
+            errors.append(f"{f}: {e}")
+            return None
 
     with concurrent.futures.ThreadPoolExecutor(io_threads) as pool:
-        images = list(pool.map(read_jpeg, infiles))
+        images = list(pool.map(read_one, infiles))
 
     # mixed-size dynamic-extent bucketing on TPU: images sharing a
     # padded bucket shape + subsampling solve through ONE compiled
@@ -115,11 +179,19 @@ def decode_files_batched(
     # geometry bucketing is the fallback for other backends/geometries
     buckets: Dict[Tuple, List[int]] = defaultdict(list)
     for i, img in enumerate(images):
+        if img is None:
+            continue
         samps = tuple((p.h_samp, p.w_samp) for p in img.planes)
         if jax.default_backend() == "tpu":
-            hb, wb = bucket_shape_for(img)
-            if iter_step.supports(img.nchannel, hb, wb, list(samps),
-                                  True):
+            # gate on the image's TRUE canvas (supports() checks the
+            # padding-waste cap against it — evaluating it on the
+            # already-padded bucket shape would make the cap vacuous)
+            geoms = tuple(
+                ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
+                for p in img.planes)
+            H, W = canvas_shape(geoms)
+            if iter_step.supports(img.nchannel, H, W, list(samps), True):
+                hb, wb = bucket_shape_for(img)
                 buckets[("dyn", hb, wb, samps)].append(i)
                 continue
         buckets[("exact",) + geometry_key(img)].append(i)
@@ -129,20 +201,29 @@ def decode_files_batched(
         imgs = [images[i] for i in members]
         C = imgs[0].nchannel
         samps = [(p.h_samp, p.w_samp) for p in imgs[0].planes]
-        if key[0] == "dyn":
-            res = solve_bucket(
-                imgs, (key[1], key[2]),
-                cfg.weights[0], list(cfg.pweights[:C]),
-                cfg.iterations[0], cfg.simd_compat_logging,
-            )
-        else:
-            datas = [[p.data for p in im.planes] for im in imgs]
-            quants = [[p.quant for p in im.planes] for im in imgs]
-            res = solve_batched(
-                datas, quants, samps,
-                cfg.weights[0], list(cfg.pweights[:C]),
-                cfg.iterations[0], cfg.simd_compat_logging,
-            )
+        try:
+            if key[0] == "dyn":
+                res = solve_bucket(
+                    imgs, (key[1], key[2]),
+                    cfg.weights[0], list(cfg.pweights[:C]),
+                    cfg.iterations[0], cfg.simd_compat_logging,
+                    data_parallel=data_parallel,
+                )
+            else:
+                datas = [[p.data for p in im.planes] for im in imgs]
+                quants = [[p.quant for p in im.planes] for im in imgs]
+                res = solve_batched(
+                    datas, quants, samps,
+                    cfg.weights[0], list(cfg.pweights[:C]),
+                    cfg.iterations[0], cfg.simd_compat_logging,
+                    data_parallel=data_parallel,
+                )
+        except (ValueError, OSError) as e:
+            if errors is None:
+                raise
+            for i in members:
+                errors.append(f"{infiles[i]}: {e}")
+            continue
         for bi, i in enumerate(members):
             im = images[i]
             if logger is not None:
@@ -239,10 +320,12 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _bucket_solver(bucket, samps, pa_ss, weight, iterations):
+def _bucket_solver(bucket, samps, pa_ss, weight, iterations, n_dp=1):
     """Jitted dynamic-extent bucket solver, cached per configuration
     (one compilation serves every image and batch size B of the
-    bucket... B still shapes the trace; lax.map keys on B)."""
+    bucket... B still shapes the trace; lax.map keys on B).  n_dp > 1
+    shards the batch over that many devices (shard_map, no
+    collectives)."""
     import jax
     import jax.numpy as jnp
 
@@ -264,7 +347,7 @@ def _bucket_solver(bucket, samps, pa_ss, weight, iterations):
             pa_ss, list(samps), weight, extents=ext)
         return jnp.stack(fnews), partials
 
-    return jax.jit(lambda t: jax.lax.map(one, t))
+    return _dp_wrap(lambda t: jax.lax.map(one, t), n_dp)
 
 
 def solve_bucket(
@@ -274,6 +357,7 @@ def solve_bucket(
     pweights: Sequence[float],
     iterations: int,
     simd_compat_logging: bool = True,
+    data_parallel: Optional[int] = None,
 ) -> BatchResult:
     """Solve mixed-size same-subsampling images through ONE compiled
     dynamic-extent kernel (kernels/iter_step.py).
@@ -286,17 +370,14 @@ def solve_bucket(
     import jax
     import jax.numpy as jnp
 
-    from jpeg2png_tpu.models.solver import ChannelGeometry, canvas_shape
+    from jpeg2png_tpu.models.solver import (
+        ChannelGeometry, canvas_shape, mega_metrics, objective_alphas)
 
     HB, WB = bucket
     samps = [(p.h_samp, p.w_samp) for p in images[0].planes]
     C = len(samps)
-    pa = [float(pw) * 2.0 * 255.0 * math.sqrt(2.0) for pw in pweights]
+    pa, total_alpha = objective_alphas(float(weight), pweights, C)
     pa_ss = tuple(pa[c] * sy * sx for c, (sy, sx) in enumerate(samps))
-    prob_cs = [c for c in range(C) if pa[c] != 0.0]
-    total_alpha = sum(p for p in pa if p != 0.0) + C
-    if weight != 0.0:
-        total_alpha += (float(weight) / math.sqrt(2.0)) * C
 
     f0s, dats, qs, exts, radii = [], [], [], [], []
     for img in images:
@@ -317,30 +398,27 @@ def solve_bucket(
     # one compiled kernel
     steps = [r / math.sqrt(1.0 + iterations) for r in radii]
     B = len(images)
+    n_dp = dp_degree(B, data_parallel)
 
     mapped = _bucket_solver(
-        (HB, WB), tuple(samps), pa_ss, float(weight), int(iterations))
+        (HB, WB), tuple(samps), pa_ss, float(weight), int(iterations),
+        n_dp)
     stacked = (
-        jnp.asarray(np.stack(f0s)),
-        [jnp.asarray(np.stack([d[c] for d in dats])) for c in range(C)],
-        [jnp.asarray(np.stack([q[c] for q in qs])) for c in range(C)],
-        jnp.asarray(np.array(exts, np.int32)),
-        jnp.asarray(np.array(steps, np.float32)[:, None]),
+        np.stack(f0s),
+        [np.stack([d[c] for d in dats]) for c in range(C)],
+        [np.stack([q[c] for q in qs]) for c in range(C)],
+        np.array(exts, np.int32),
+        np.array(steps, np.float32)[:, None],
     )
+    stacked = jax.tree.map(jnp.asarray, _pad_batch(stacked, B, n_dp))
     fd, partials = mapped(stacked)
-    fdata_out = np.asarray(fd)
-    partials = np.asarray(partials)
+    fdata_out = np.asarray(fd)[:B]
+    partials = np.asarray(partials)[:B]
     metrics_out = np.zeros((B, iterations, 4), np.float32)
     for i in range(B):
-        tv = partials[i, :, C]
-        tv2 = partials[i, :, C + 1]
-        dist = np.zeros((iterations,), np.float32)
-        for pi, c in enumerate(prob_cs):
-            dcol = partials[i, :, C + 2 + pi]
-            if not simd_compat_logging:
-                dcol = pa[c] * dcol
-            dist = dist + dcol
-        prob_col = np.concatenate([[0.0], dist[:-1]])
-        obj = (tv + tv2 + prob_col) / total_alpha
-        metrics_out[i] = np.stack([obj, prob_col, tv, tv2], axis=1)
+        # same metrics assembly as the solver's fused path (fresh
+        # start: prob row 0 is exactly 0, compute.c:279-286)
+        metrics_out[i], _ = mega_metrics(
+            partials[i], 0.0, pa, total_alpha, simd_compat_logging,
+            xp=np)
     return BatchResult(fdata_out, metrics_out)

@@ -96,3 +96,99 @@ def test_solve_bucket_matches_per_image(fixtures_dir, monkeypatch):
                              use_pallas=False)
         np.testing.assert_allclose(
             res2.metrics[bi][:2, 0], np.asarray(mx2)[:2, 0], rtol=1e-4)
+
+
+def test_batched_error_isolation(fixtures_dir, tmp_path):
+    """A corrupt member drops out with an error; the rest still solve
+    (VERDICT round-1 item 7 — the reference's die() would abort all,
+    utils.c:11-40)."""
+    junk = tmp_path / "junk.jpg"
+    junk.write_bytes(b"\xff\xd8\xff\xe0 this is not a real jpeg")
+    files = [str(fixtures_dir / "lineart64_q20_420.jpg"),
+             str(junk),
+             str(fixtures_dir / "photo80_q30_422.jpg")]
+    cfg = SolverConfig(iterations=(2,) * 3)
+    errors = []
+    out = decode_files_batched(files, cfg, errors=errors)
+    assert set(out) == {files[0], files[2]}
+    assert len(errors) == 1 and str(junk) in errors[0]
+
+
+def test_batched_error_raises_without_list(tmp_path):
+    """Library behavior unchanged: errors=None raises on a bad file."""
+    import pytest
+
+    junk = tmp_path / "junk.jpg"
+    junk.write_bytes(b"not a jpeg at all")
+    cfg = SolverConfig(iterations=(2,) * 3)
+    with pytest.raises((ValueError, OSError)):
+        decode_files_batched([str(junk), str(junk)], cfg)
+
+
+def test_batched_data_parallel_matches_single_device():
+    """A B=8 bucket sharded over 8 virtual devices == per-image solves
+    (VERDICT round-1 item 2: N chips -> ~N x file throughput; the
+    reference's OpenMP-over-files analog, jpeg2png.c:330-337)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(11)
+    samps = [(1, 1), (2, 2), (2, 2)]
+    B = 8
+    datas, quants = [], []
+    for _ in range(B):
+        datas.append([
+            rng.integers(-25, 25, (4, 4, 8, 8)).astype(np.int16),
+            rng.integers(-12, 12, (2, 2, 8, 8)).astype(np.int16),
+            rng.integers(-12, 12, (2, 2, 8, 8)).astype(np.int16),
+        ])
+        quants.append([rng.integers(1, 60, (8, 8)).astype(np.uint16)
+                       for _ in range(3)])
+
+    from jpeg2png_tpu.runner import dp_degree
+    assert dp_degree(B) == 8
+    res = solve_batched(datas, quants, samps, 0.3, [0.001] * 3, 3,
+                        data_parallel=8)
+    res1 = solve_batched(datas, quants, samps, 0.3, [0.001] * 3, 3,
+                         data_parallel=1)
+    # sharded vmap reduces in a different order -> f32 drift only
+    np.testing.assert_allclose(res.fdata, res1.fdata, atol=5e-3)
+    np.testing.assert_allclose(res.metrics, res1.metrics,
+                               rtol=1e-4, atol=0.5)
+
+    # uneven batch: B=5 over 4 devices (padding member cropped)
+    res5 = solve_batched(datas[:5], quants[:5], samps, 0.3,
+                         [0.001] * 3, 3, data_parallel=4)
+    assert res5.fdata.shape[0] == 5
+    np.testing.assert_allclose(res5.fdata, res1.fdata[:5], atol=5e-3)
+
+
+def test_bucket_data_parallel_matches(fixtures_dir, monkeypatch):
+    """Dynamic-extent bucket sharded over devices == unsharded."""
+    import jax
+    import jax.experimental.pallas as pl
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs 2 devices")
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+    from jpeg2png_tpu.runner import solve_bucket
+
+    imgs = [read_jpeg(fixtures_dir / "lineart128_q10_420.jpg"),
+            read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")]
+    bucket = (256, 256)
+    r2 = solve_bucket(imgs, bucket, 0.3, [0.001] * 3, 1,
+                      data_parallel=2)
+    r1 = solve_bucket(imgs, bucket, 0.3, [0.001] * 3, 1,
+                      data_parallel=1)
+    np.testing.assert_allclose(r2.fdata, r1.fdata, atol=1e-4)
+    np.testing.assert_allclose(r2.metrics, r1.metrics, rtol=1e-5)

@@ -2,18 +2,34 @@
 
 Runs on a simulated 8-device CPU mesh (conftest sets
 xla_force_host_platform_device_count=8), validating the halo exchange,
-the global-psum step normalization, and block-local projection against
-the ordinary solver bit-for-... well, float-for-float.
+the global-psum step normalization, block-local projection and the
+frozen/FREE padding algebra against the ordinary solver — both the
+pure-XLA striped body and the fused Pallas striped body (interpreted
+here; compiled on real TPU via tests/tpu_checks.py).
 """
 
 import numpy as np
 import pytest
 import jax
+from jax.experimental import pallas as pl
 
-from jpeg2png_tpu.models.solver import solve_joint
+from jpeg2png_tpu.models.solver import ChannelGeometry, solve_joint
 from jpeg2png_tpu.parallel.mesh import stripe_mesh
-from jpeg2png_tpu.parallel.stripes import solve_striped, stripes_supported
-from jpeg2png_tpu.models.solver import ChannelGeometry
+from jpeg2png_tpu.parallel.stripes import (
+    padded_striped_shape, pallas_striped_supported, solve_striped,
+    stripes_supported,
+)
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
 
 
 def synth(rng, layout):
@@ -41,7 +57,8 @@ def test_striped_matches_single(n_dev, layout, weight):
     mesh = stripe_mesh(n_dev)
 
     fd_s, m_s = solve_striped(datas, quants, samps, weight,
-                              [0.001] * len(datas), 4, mesh)
+                              [0.001] * len(datas), 4, mesh,
+                              use_pallas=False)
     fd_1, m_1 = solve_joint(datas, quants, samps, weight,
                             [0.001] * len(datas), 4, use_pallas=False)
     np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_1),
@@ -50,14 +67,115 @@ def test_striped_matches_single(n_dev, layout, weight):
                                atol=0.5)
 
 
-def test_stripes_supported_gating():
+@pytest.mark.parametrize("n_dev,layout,weight,pweight", [
+    # aligned 4:2:0 over 4 devices
+    (4, [(16, 16, 1, 1), (8, 8, 2, 2), (8, 8, 2, 2)], 0.3, 0.001),
+    # UNALIGNED height (24 blocks = 192 rows over 4 -> pads to 256)
+    # + ragged canvas (region gap: luma 192 rows, chroma region 192)
+    (4, [(24, 16, 1, 1), (12, 8, 2, 2), (12, 8, 2, 2)], 0.3, 0.001),
+    # single channel, TV only, width needs padding (64 -> 128)
+    (4, [(16, 8, 1, 1)], 0.0, 0.001),
+    # prob off entirely
+    (2, [(16, 16, 1, 1)] * 3, 0.3, 0.0),
+])
+def test_striped_pallas_matches_single(interpret_pallas, n_dev, layout,
+                                       weight, pweight):
+    """The fused Pallas striped body (kernels/stripe_grad.py +
+    kernels/project_step.py under shard_map) == single-device solve."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(7)
+    datas, quants, samps = synth(rng, layout)
+    mesh = stripe_mesh(n_dev)
+    C = len(datas)
+
+    geoms = tuple(ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+                  for d, (sy, sx) in zip(datas, samps))
+    assert pallas_striped_supported(geoms, n_dev)
+
+    fd_s, m_s = solve_striped(datas, quants, samps, weight,
+                              [pweight] * C, 4, mesh, use_pallas=True)
+    fd_1, m_1 = solve_joint(datas, quants, samps, weight,
+                            [pweight] * C, 4, use_pallas=False)
+    assert fd_s.shape == fd_1.shape
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_1),
+                               rtol=5e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(fd_s), np.asarray(fd_1),
+                               atol=0.5)
+
+
+def test_striped_real_fixture_unaligned(interpret_pallas, fixtures_dir):
+    """--tpu-stripes on a real 600x400 4:2:0 photo (VERDICT round-1
+    item 3's done-criterion): unaligned H=400 over 4 devices, both
+    striped bodies match the single-device solve."""
+    from jpeg2png_tpu.io import read_jpeg
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    img = read_jpeg(fixtures_dir / "photo600x400_q20_420.jpg")
+    datas = [p.data for p in img.planes]
+    quants = [p.quant for p in img.planes]
+    samps = [(p.h_samp, p.w_samp) for p in img.planes]
+    mesh = stripe_mesh(4)
+
+    fd_1, m_1 = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 3,
+                            use_pallas=False)
+    for use_pallas in (False, True):
+        fd_s, m_s = solve_striped(datas, quants, samps, 0.3,
+                                  [0.001] * 3, 3, mesh,
+                                  use_pallas=use_pallas)
+        assert fd_s.shape == fd_1.shape
+        np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_1),
+                                   rtol=5e-3, atol=1e-2)
+        # real images hit the known chaotic FP divergence (flat-region
+        # TV subgradients) after ~2 iterations — gate by PSNR, the
+        # project-wide convention for solution comparison
+        mse = float(np.mean(
+            (np.asarray(fd_s) - np.asarray(fd_1)) ** 2))
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+        assert psnr > 55.0, f"use_pallas={use_pallas}: {psnr:.1f} dB"
+
+
+def test_padded_striped_shape():
+    # 400 rows over 4 devices, 4:2:0 -> unit 16, band 112 -> H2=448
+    g420 = (ChannelGeometry(50, 75, 1, 1), ChannelGeometry(25, 38, 2, 2),
+            ChannelGeometry(25, 38, 2, 2))
+    H, W, H2, W2, L = padded_striped_shape(g420, 4)
+    assert (H, W) == (400, 608)
+    assert H2 % (4 * 16) == 0 and H2 >= H
+    assert W2 % 256 == 0 and W2 >= W
+    assert L == H2 // 4
+
     g444 = (ChannelGeometry(16, 16, 1, 1),) * 3
-    assert stripes_supported(g444, 4)
-    assert not stripes_supported(g444, 7)      # 128 % (7*8) != 0
-    g420 = (ChannelGeometry(32, 16, 1, 1), ChannelGeometry(16, 8, 2, 2),
-            ChannelGeometry(16, 8, 2, 2))
-    assert stripes_supported(g420, 8)
-    # ragged canvas (luma region smaller) is not shardable
-    gragged = (ChannelGeometry(13, 13, 1, 1), ChannelGeometry(7, 7, 2, 2),
-               ChannelGeometry(7, 7, 2, 2))
-    assert not stripes_supported(gragged, 2)
+    assert stripes_supported(g444, 7)       # pads to 7*...
+    H, W, H2, W2, L = padded_striped_shape(g444, 7)
+    assert H2 % (7 * 8) == 0 and L % 8 == 0
+
+
+def test_collective_count():
+    """Scaling regression guard: the striped body must issue exactly
+    4 collectives per iteration — 2 halo ppermutes (top/bot batched
+    over channels) ... actually per-channel-batched: count psums = 3
+    (norm, tv, tv2 fused or not) + 1 dist psum, and 2C+2C ppermutes
+    max.  Gate loosely: collective ops per iteration <= 4*C + 4."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(3)
+    datas, quants, samps = synth(rng, [(16, 16, 1, 1)] * 3)
+    mesh = stripe_mesh(4)
+    iters = 3
+
+    from jpeg2png_tpu.parallel.stripes import _build_striped
+    geoms = tuple(ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+                  for d, (sy, sx) in zip(datas, samps))
+    solver = _build_striped(geoms, 0.3, (0.001,) * 3, iters, True,
+                            mesh, False)
+    import jax.numpy as jnp
+    lowered = solver.lower([jnp.asarray(d) for d in datas],
+                           [jnp.asarray(q) for q in quants])
+    hlo = lowered.compile().as_text()
+    n_coll = hlo.count("collective-permute(") + hlo.count(
+        "all-reduce(")
+    C = 3
+    # while-loop body counts once regardless of iteration count
+    assert n_coll <= 4 * C + 4, f"{n_coll} collectives in the loop body"

@@ -247,6 +247,31 @@ def main():
     check("batch members identical inputs -> identical outputs",
           np.array_equal(rb_p.fdata[0], rb_p.fdata[1]))
 
+    # --- striped Pallas body compiled on the real chip (n=1 mesh) ---
+    # multi-device behavior is CPU-mesh-tested (tests/test_stripes.py);
+    # this compiles kernels/stripe_grad.py + the shard_map plumbing on
+    # real hardware and gates PSNR vs the XLA solver, on both an
+    # aligned fixture and the unaligned/padded 600x400 one
+    from jpeg2png_tpu.parallel.mesh import stripe_mesh
+    from jpeg2png_tpu.parallel.stripes import solve_striped
+
+    mesh1 = stripe_mesh(1)
+    for fix, iters in (("photo512_q10_420.jpg", 50),
+                       ("photo600x400_q20_420.jpg", 10)):
+        im = read_jpeg(FIXDIR / fix)
+        ds = [p.data for p in im.planes]
+        qs = [p.quant for p in im.planes]
+        ss = [(p.h_samp, p.w_samp) for p in im.planes]
+        fd_s, m_s = solve_striped(ds, qs, ss, 0.3, [0.001] * 3, iters,
+                                  mesh1, use_pallas=True)
+        fd_x, _ = solve_joint(ds, qs, ss, 0.3, [0.001] * 3, iters,
+                              use_pallas=False)
+        psnr = _psnr(fd_s, fd_x)
+        check(f"striped pallas n=1 vs xla ({fix})", psnr > 55,
+              f"psnr={psnr:.2f} dB")
+        check(f"striped metrics finite ({fix})",
+              np.isfinite(np.asarray(m_s)).all())
+
     print("all tpu checks passed")
 
 
