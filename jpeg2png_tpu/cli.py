@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "devices (0 = auto: single device)")
     p.add_argument("--tpu-batch", action="store_true",
                    help="solve same-shaped inputs batched in one step")
+    p.add_argument("--tpu-distributed", action="store_true",
+                   help="join a multi-host run (jax.distributed: "
+                        "coordinator/rank from JPEG2PNG_COORDINATOR, "
+                        "JPEG2PNG_NUM_PROCESSES, JPEG2PNG_PROCESS_ID, "
+                        "or auto-detected on TPU pods); meshes then "
+                        "span all hosts' devices")
     return p
 
 
@@ -163,6 +169,9 @@ def main(argv=None) -> int:
             outfiles.append(outfile)
 
     # lazy imports so --help/--version don't pay for jax startup
+    if args.tpu_distributed:
+        from jpeg2png_tpu.parallel.distributed import initialize
+        initialize()
     from jpeg2png_tpu.pipeline import decode_file
     from jpeg2png_tpu.utils.logger import ConvergenceLogger
     from jpeg2png_tpu.utils.progress import ProgressBar

@@ -674,6 +674,79 @@ def solve_joint(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _chunk_step_fn(geoms, weight, pweights, iterations,
+                   simd_compat_logging, dtype, use_pallas, nsteps):
+    """Jitted resumable step of `nsteps` iterations (cached so repeated
+    chunked solves of one configuration never retrace)."""
+    impl = _build_solver_impl(
+        geoms, weight, pweights, iterations, simd_compat_logging, dtype,
+        use_pallas)
+    return jax.jit(lambda d, q, c: impl(d, q, c, nsteps))
+
+
+def solve_joint_chunked(
+    datas, quants, samps, weight, pweights, iterations,
+    on_chunk=None, chunk: int | None = None,
+    simd_compat_logging: bool = True, dtype: str = "float32",
+    use_pallas: bool | None = None,
+):
+    """solve_joint split into host-visible chunks.
+
+    The reference ticks its progress bar and CSV log every iteration
+    from inside the hot loop (compute.c:449-452, logger.c:20); the
+    fused device loop here is opaque until it returns, so long solves
+    run as a sequence of resumable chunks instead — numerically
+    identical to one uninterrupted solve (the step size keys on the
+    TOTAL iteration count and the carry resumes exactly; the
+    checkpoint tests prove chunked == one-shot).  After each chunk,
+    `on_chunk(done_iterations, metrics_chunk)` fires on the host.
+
+    Returns (fdata, metrics) like solve_joint.
+    """
+    geoms = tuple(
+        ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+        for d, (sy, sx) in zip(datas, samps)
+    )
+    H, W = canvas_shape(geoms)
+    if (jax.default_backend() == "tpu" and use_pallas is not False
+            and W > 1024 and H < W):
+        # same landscape-transpose orientation as solve_joint; metrics
+        # and chunk boundaries are orientation-invariant
+        datas_t, quants_t, samps_t = transpose_problem(
+            datas, quants, samps)
+        fdata, metrics = solve_joint_chunked(
+            datas_t, quants_t, samps_t, weight, pweights, iterations,
+            on_chunk, chunk, simd_compat_logging, dtype, use_pallas)
+        return jnp.swapaxes(fdata, 1, 2), metrics
+    if use_pallas is None:
+        use_pallas = _pallas_default(geoms)
+    if chunk is None:
+        chunk = max(8, min(50, iterations // 20 or iterations))
+
+    key = (geoms, float(weight), tuple(float(p) for p in pweights),
+           int(iterations), bool(simd_compat_logging), dtype,
+           bool(use_pallas))
+    d_dev = [jnp.asarray(d) for d in datas]
+    q_dev = [jnp.asarray(q) for q in quants]
+    carry = _chunk_step_fn(*key, 0)(d_dev, q_dev, None)[2]
+
+    all_metrics = []
+    done = 0
+    fdata = None
+    while done < iterations:
+        n = min(chunk, iterations - done)
+        fdata, metrics, carry = _chunk_step_fn(*key, n)(
+            d_dev, q_dev, carry)
+        metrics = np.asarray(metrics)
+        done += n
+        all_metrics.append(metrics)
+        if on_chunk is not None:
+            on_chunk(done, metrics)
+    return fdata, np.concatenate(all_metrics) if all_metrics else (
+        np.zeros((0, 4), np.float32))
+
+
 def solve_separate(
     datas, quants, samps, weights, pweights, iterations_per_channel,
     simd_compat_logging: bool = True, dtype: str = "float32",

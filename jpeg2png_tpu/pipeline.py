@@ -31,18 +31,45 @@ class DecodeResult:
 
 def smooth_decode(img: JpegImage, cfg: SolverConfig,
                   progress: Optional[ProgressBar] = None,
-                  bits: int = 8, stripes: int = 0) -> DecodeResult:
+                  bits: int = 8, stripes: int = 0,
+                  metrics_stream=None) -> DecodeResult:
     """Solve and convert one parsed JPEG to output pixels.
 
     stripes > 1 shards the image's rows over that many devices with
     per-iteration halo collectives (parallel/stripes.py) — the path for
     giant images that exceed one chip (BASELINE.json config 5).
+
+    metrics_stream: optional callable (channel, start_iteration,
+    metrics_chunk) fired DURING the solve — with it (or a progress
+    bar) active, long solves run as resumable chunks so the bar ticks
+    and the CSV streams mid-solve, like the reference's per-iteration
+    hooks (compute.c:449-452, logger.c:20).  Numerically identical to
+    the one-shot solve.
     """
     require_supported(img)
     datas = [p.data for p in img.planes]
     quants = [p.quant for p in img.planes]
     samps = [(p.h_samp, p.w_samp) for p in img.planes]
     C = img.nchannel
+
+    # chunked execution once there is someone to tell about progress
+    # and enough iterations for intermediate reports to exist
+    def chunked_solve(ds, qs, ss, w, pw, iters, channel_id):
+        from jpeg2png_tpu.models.solver import solve_joint_chunked
+
+        def on_chunk(done, chunk_metrics):
+            if progress:
+                progress.increment(chunk_metrics.shape[0])
+            if metrics_stream:
+                metrics_stream(channel_id, done - chunk_metrics.shape[0],
+                               chunk_metrics)
+
+        return solve_joint_chunked(
+            ds, qs, ss, w, pw, iters, on_chunk=on_chunk,
+            simd_compat_logging=cfg.simd_compat_logging,
+            dtype=cfg.dtype)
+
+    live = (progress is not None or metrics_stream is not None)
 
     metrics_out = {}
     if stripes > 1 and (not cfg.separate_components or C == 1):
@@ -55,33 +82,56 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
             datas, quants, samps, cfg.weights[0], cfg.pweights[:C],
             cfg.iterations[0], stripe_mesh(stripes),
             cfg.simd_compat_logging)
-        metrics_out[3 if C > 1 else 0] = np.asarray(metrics)
+        # under multi-host execution the striped result is sharded
+        # across processes: all-gather it once, here at the very end
+        from jpeg2png_tpu.parallel.distributed import gather_output
+        fdata = gather_output(fdata)
+        metrics = gather_output(metrics)
+        channel_id = 3 if C > 1 else 0
+        metrics_out[channel_id] = np.asarray(metrics)
         channels = [fdata[c] for c in range(C)]
         if progress:
             progress.increment(cfg.iterations[0])
+        if metrics_stream:
+            metrics_stream(channel_id, 0, np.asarray(metrics))
     elif not cfg.separate_components or C == 1:
-        fdata, metrics = solve_joint(
-            datas, quants, samps,
-            cfg.weights[0], cfg.pweights[:C], cfg.iterations[0],
-            cfg.simd_compat_logging, cfg.dtype,
-        )
-        metrics_out[3 if C > 1 else 0] = np.asarray(metrics)
+        channel_id = 3 if C > 1 else 0
+        if live and cfg.iterations[0] > 16:
+            fdata, metrics = chunked_solve(
+                datas, quants, samps, cfg.weights[0],
+                cfg.pweights[:C], cfg.iterations[0], channel_id)
+        else:
+            fdata, metrics = solve_joint(
+                datas, quants, samps,
+                cfg.weights[0], cfg.pweights[:C], cfg.iterations[0],
+                cfg.simd_compat_logging, cfg.dtype,
+            )
+            if progress:
+                progress.increment(cfg.iterations[0])
+            if metrics_stream:
+                metrics_stream(channel_id, 0, np.asarray(metrics))
+        metrics_out[channel_id] = np.asarray(metrics)
         channels = [fdata[c] for c in range(C)]
-        if progress:
-            progress.increment(cfg.iterations[0])
     else:
         channels = []
         for c in range(C):
             s = cfg.channel(c)
-            fd, metrics = solve_joint(
-                [datas[c]], [quants[c]], [samps[c]],
-                s.weight, [s.pweight], s.iterations,
-                cfg.simd_compat_logging, cfg.dtype,
-            )
+            if live and s.iterations > 16:
+                fd, metrics = chunked_solve(
+                    [datas[c]], [quants[c]], [samps[c]],
+                    s.weight, [s.pweight], s.iterations, c)
+            else:
+                fd, metrics = solve_joint(
+                    [datas[c]], [quants[c]], [samps[c]],
+                    s.weight, [s.pweight], s.iterations,
+                    cfg.simd_compat_logging, cfg.dtype,
+                )
+                if progress:
+                    progress.increment(s.iterations)
+                if metrics_stream:
+                    metrics_stream(c, 0, np.asarray(metrics))
             metrics_out[c] = np.asarray(metrics)
             channels.append(fd[0])
-            if progress:
-                progress.increment(s.iterations)
 
     h, w = img.height, img.width
     if C == 1:
@@ -104,12 +154,19 @@ def decode_file(
     progress: Optional[ProgressBar] = None,
     stripes: int = 0,
 ) -> DecodeResult:
-    """Full per-file pipeline (jpeg2png.c:120-172)."""
+    """Full per-file pipeline (jpeg2png.c:120-172).
+
+    CSV rows stream DURING the solve (chunked execution) rather than
+    after it, so `-c` on a long run behaves like the reference's
+    in-loop logger (logger.c:20)."""
     img = read_jpeg(infile)
-    result = smooth_decode(img, cfg, progress, bits, stripes)
+    stream = None
     if logger is not None:
-        for channel, metrics in sorted(result.metrics_per_channel.items()):
-            logger.log_metrics(infile, channel, metrics)
+        def stream(channel, start, metrics):
+            logger.log_metrics(infile, channel, metrics,
+                               start_iteration=start)
+    result = smooth_decode(img, cfg, progress, bits, stripes,
+                           metrics_stream=stream)
     write_png(outfile, result.pixels, bits)
     return result
 

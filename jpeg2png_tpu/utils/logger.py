@@ -25,8 +25,12 @@ class ConvergenceLogger:
         if self._f is not None:
             self._f.write(HEADER + "\n")
 
-    def log_metrics(self, filename: str, channel: int, metrics) -> None:
-        """metrics: [iterations, 4] array (objective, prob_dist, tv, tv2)."""
+    def log_metrics(self, filename: str, channel: int, metrics,
+                    start_iteration: int = 0) -> None:
+        """metrics: [iterations, 4] array (objective, prob_dist, tv, tv2).
+
+        start_iteration offsets the iteration column — chunked solves
+        stream their rows incrementally (pipeline.smooth_decode)."""
         if self._f is None:
             return
         m = np.asarray(metrics)
@@ -34,6 +38,7 @@ class ConvergenceLogger:
             for i in range(m.shape[0]):
                 self._f.write(
                     "%s,%d,%d,%f,%f,%f,%f\n"
-                    % (filename, channel, i, m[i, 0], m[i, 1], m[i, 2], m[i, 3])
+                    % (filename, channel, start_iteration + i,
+                       m[i, 0], m[i, 1], m[i, 2], m[i, 3])
                 )
             self._f.flush()

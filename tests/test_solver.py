@@ -117,3 +117,65 @@ def test_transpose_problem_invariance(fixtures_dir):
     np.testing.assert_allclose(
         np.asarray(f1), np.swapaxes(np.asarray(f2), 1, 2), atol=2e-3)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-4)
+
+
+def test_chunked_solve_streams_and_matches():
+    """solve_joint_chunked == solve_joint exactly (same compiled steps,
+    resumable carry), with on_chunk firing per chunk — the per-
+    iteration progress/CSV streaming mechanism (VERDICT round-1 #6)."""
+    import numpy as np
+
+    from jpeg2png_tpu.models.solver import solve_joint, solve_joint_chunked
+
+    rng = np.random.default_rng(5)
+    datas = [rng.integers(-25, 25, (4, 4, 8, 8)).astype(np.int16),
+             rng.integers(-12, 12, (2, 2, 8, 8)).astype(np.int16),
+             rng.integers(-12, 12, (2, 2, 8, 8)).astype(np.int16)]
+    quants = [rng.integers(1, 60, (8, 8)).astype(np.uint16)
+              for _ in range(3)]
+    samps = [(1, 1), (2, 2), (2, 2)]
+
+    seen = []
+    fd_c, m_c = solve_joint_chunked(
+        datas, quants, samps, 0.3, [0.001] * 3, 10, chunk=4,
+        on_chunk=lambda done, m: seen.append((done, m.shape[0])),
+        use_pallas=False)
+    fd_1, m_1 = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 10,
+                            use_pallas=False)
+    assert seen == [(4, 4), (8, 4), (10, 2)]
+    np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fd_c), np.asarray(fd_1),
+                               atol=1e-4)
+
+
+def test_pipeline_streams_csv_and_progress(fixtures_dir, tmp_path):
+    """decode_file with a bar + CSV log ticks and streams in chunks;
+    the resulting CSV is identical to a quiet run's."""
+    import io
+
+    from jpeg2png_tpu.io import read_jpeg
+    from jpeg2png_tpu.pipeline import decode_file
+    from jpeg2png_tpu.utils.config import SolverConfig
+    from jpeg2png_tpu.utils.logger import ConvergenceLogger
+    from jpeg2png_tpu.utils.progress import ProgressBar
+
+    cfg = SolverConfig(iterations=(20,) * 3)
+    src = str(fixtures_dir / "lineart64_q20_420.jpg")
+
+    bar_out = io.StringIO()
+    csv1 = io.StringIO()
+    bar = ProgressBar(20, stream=bar_out)
+    decode_file(src, str(tmp_path / "a.png"), cfg, 8,
+                ConvergenceLogger(csv1), bar)
+    # several redraws -> the bar visibly advanced mid-solve
+    assert bar_out.getvalue().count("\r") > 2
+    assert bar.current == 20
+
+    csv2 = io.StringIO()
+    decode_file(src, str(tmp_path / "b.png"), cfg, 8,
+                ConvergenceLogger(csv2), None)
+    rows1 = csv1.getvalue().replace("a.png", "x")
+    rows2 = csv2.getvalue().replace("b.png", "x")
+    assert rows1 == rows2
+    assert len(csv1.getvalue().strip().splitlines()) == 21  # header + 20

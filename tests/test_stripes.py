@@ -179,3 +179,25 @@ def test_collective_count():
     C = 3
     # while-loop body counts once regardless of iteration count
     assert n_coll <= 4 * C + 4, f"{n_coll} collectives in the loop body"
+
+
+def test_cli_tpu_stripes_e2e(fixtures_dir, tmp_path):
+    """`--tpu-stripes 4` through the real CLI on an unaligned fixture
+    produces (near-)identical pixels to the single-device CLI run."""
+    from jpeg2png_tpu.cli import main
+    from tests.pngdec import decode_png
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    src = str(fixtures_dir / "photo600x400_q20_420.jpg")
+    out_s = str(tmp_path / "striped.png")
+    out_1 = str(tmp_path / "single.png")
+    assert main([src, "-o", out_s, "-i", "3", "-q",
+                 "--tpu-stripes", "4"]) == 0
+    assert main([src, "-o", out_1, "-i", "3", "-q"]) == 0
+    a = np.asarray(decode_png(open(out_s, "rb").read()), np.float64)
+    b = np.asarray(decode_png(open(out_1, "rb").read()), np.float64)
+    assert a.shape == b.shape == (400, 600, 3)
+    mse = ((a - b) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr > 55.0, psnr
