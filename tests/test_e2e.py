@@ -60,6 +60,10 @@ def assert_metrics_close(ours, golden, rtol=6e-3):
     # (compute_simd_step.c:103-105).  Gate the trace pre-chaos only;
     # the PNG PSNR gate below still covers the full 5 iterations.
     ("photo512_q10_420", 2),
+    # 4:4:0 (sy=2, sx=1): the vertical-only anisotropic footprint
+    # (compute.c:349-403), fixture from tools/tiny_jpeg.py since no
+    # system encoder emits it
+    ("art120x88_q40_440", 5),
 ])
 def test_joint_i5_matches_reference(name, trace_iters, fixtures_dir):
     img = read_jpeg(fixtures_dir / f"{name}.jpg")
@@ -121,6 +125,26 @@ def test_separate_components_matches_reference(fixtures_dir):
         assert_metrics_close(result.metrics_per_channel[c], golden[c])
     gold_png = np.asarray(
         Image.open(fixtures_dir / "golden" / "lineart64_q20_420_s_i5.png"))
+    assert psnr(result.pixels, gold_png) > 45.0
+
+
+def test_separate_triple_weights_matches_reference(fixtures_dir):
+    """-s with per-channel w/p/i triples (jpeg2png.c:207-244: the
+    triple forms are only legal with -s)."""
+    img = read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")
+    cfg = SolverConfig(
+        weights=(0.5, 0.2, 0.1),
+        pweights=(0.002, 0.001, 0.0005),
+        iterations=(5, 4, 3),
+        separate_components=True)
+    result = smooth_decode(img, cfg)
+    golden = load_golden_csv(
+        fixtures_dir / "golden" / "lineart64_q20_420_striple_i543.csv")
+    for c in range(3):
+        assert result.metrics_per_channel[c].shape[0] == (5, 4, 3)[c]
+        assert_metrics_close(result.metrics_per_channel[c], golden[c])
+    gold_png = np.asarray(Image.open(
+        fixtures_dir / "golden" / "lineart64_q20_420_striple_i543.png"))
     assert psnr(result.pixels, gold_png) > 45.0
 
 

@@ -174,3 +174,33 @@ def test_native_and_python_png_encoders_agree(tmp_path):
         b = decode_png(encode_png(pix, bits, force_python=True))
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(a.reshape(pix.shape), pix)
+
+
+def test_tiny_jpeg_roundtrip(fixtures_dir):
+    """tools/tiny_jpeg.py (the fixture generator for samplings PIL
+    cannot emit) round-trips through PIL's libjpeg decoder and through
+    our coefficient reader with matching geometry."""
+    import io as _io
+    import pathlib
+    import sys
+
+    import numpy as np
+    from PIL import Image
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    from tiny_jpeg import encode
+
+    rng = np.random.default_rng(0)
+    base = np.repeat(np.repeat(
+        rng.integers(0, 256, (11, 15, 3)), 8, 0), 8, 1).astype(np.uint8)
+    for samp, sy, sx in ((((1, 2), (1, 1), (1, 1)), 2, 1),   # 4:4:0
+                         (((2, 1), (1, 1), (1, 1)), 1, 2),   # 4:2:2-ish
+                         (((2, 2), (1, 1), (1, 1)), 2, 2)):  # 4:2:0
+        data = encode(base, quality=90, sampling=samp)
+        pil = np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+        assert pil.shape == base.shape
+        # flat 8x8-block image survives high-quality JPEG closely
+        assert np.abs(pil.astype(int) - base.astype(int)).mean() < 12.0
+        from jpeg2png_tpu.io import read_jpeg
+        img = read_jpeg(data)
+        assert (img.planes[1].h_samp, img.planes[1].w_samp) == (sy, sx)
