@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Tier-table benchmark: solver throughput across canvas sizes.
+
+Measures the marginal MP*iter/s (min over repetitions of an
+n1 -> n2 iteration-count difference, which cancels the remote-tunnel
+dispatch overhead — see bench.py) for each solver tier:
+
+    0.26 MP  512x512    whole-solve VMEM kernel (headline fixture)
+    1.05 MP  1024x1024  whole-solve VMEM kernel, large
+    1.64 MP  1280x1280  whole-solve VMEM kernel at the gate edge
+    3.15 MP  2048x1536  big-canvas tier
+    6.29 MP  2048x3072  big-canvas tier (the README table row)
+
+Prints one JSON line per tier; `--update-readme` is a reminder that
+README's tier table is maintained from these numbers.  Large-canvas
+timings through the tunnel swing: min over >= 4 repetitions, and run
+the whole thing twice when a number looks off (CLAUDE.md).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def synth(nby, nbx, seed=0):
+    rng = np.random.default_rng(seed)
+    datas = [
+        rng.integers(-25, 25, (nby, nbx, 8, 8)).astype(np.int16),
+        rng.integers(-12, 12, (nby // 2, nbx // 2, 8, 8)).astype(np.int16),
+        rng.integers(-12, 12, (nby // 2, nbx // 2, 8, 8)).astype(np.int16),
+    ]
+    quants = [rng.integers(1, 60, (8, 8)).astype(np.uint16)
+              for _ in range(3)]
+    return datas, quants, [(1, 1), (2, 2), (2, 2)]
+
+
+def tier_rate(nby, nbx, n1, n2, reps=4):
+    from jpeg2png_tpu.models.solver import solve_joint
+
+    datas, quants, samps = synth(nby, nbx)
+    H, W = nby * 8, nbx * 8
+    mp = H * W / 1e6
+
+    def timed(iters):
+        best = float("inf")
+        fd, m = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, iters)
+        np.asarray(m[-1])
+        for _ in range(reps):
+            t0 = time.time()
+            fd, m = solve_joint(datas, quants, samps, 0.3, [0.001] * 3,
+                                iters)
+            np.asarray(m[-1])
+            best = min(best, time.time() - t0)
+        return best
+
+    t1, t2 = timed(n1), timed(n2)
+    return mp, mp * (n2 - n1) / max(t2 - t1, 1e-9)
+
+
+TIERS = [
+    ("0.26MP 512x512", 64, 64, 1000, 3000),
+    ("1.05MP 1024x1024", 128, 128, 200, 600),
+    ("1.64MP 1280x1280", 160, 160, 100, 400),
+    ("3.15MP 2048x1536", 256, 192, 50, 200),
+    ("6.29MP 2048x3072", 256, 384, 30, 130),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    out = {}
+    for name, nby, nbx, n1, n2 in TIERS:
+        if args.quick:
+            n1, n2 = max(n1 // 5, 5), max(n2 // 5, 20)
+        mp, rate = tier_rate(nby, nbx, n1, n2)
+        out[name] = round(rate, 1)
+        print(json.dumps({"tier": name, "mp_iter_per_s": round(rate, 1)}),
+              flush=True)
+    print(json.dumps({"tiers": out}))
+
+
+if __name__ == "__main__":
+    main()
