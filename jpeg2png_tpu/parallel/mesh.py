@@ -38,10 +38,3 @@ def batch_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), ("batch",))
 
 
-def batch_stripe_mesh(n_batch: int, n_stripe: int,
-                      devices: Optional[Sequence] = None) -> Mesh:
-    """2-D mesh ("batch", "y")."""
-    if devices is None:
-        devices = jax.devices()
-    devices = np.asarray(devices[: n_batch * n_stripe])
-    return Mesh(devices.reshape(n_batch, n_stripe), ("batch", "y"))

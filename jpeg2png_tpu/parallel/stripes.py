@@ -152,7 +152,7 @@ def _padded_consts(datas, quants, geoms, H, W, H2, W2):
     return dqs, los, his, iqs, jnp.stack(f0s)
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=32)
 def _build_striped(
     geoms: Tuple[ChannelGeometry, ...],
     weight: float,
@@ -161,7 +161,16 @@ def _build_striped(
     simd_compat_logging: bool,
     mesh: Mesh,
     use_pallas: bool,
+    nsteps: int | None = None,
 ):
+    """Jitted resumable striped solver: solve(datas, quants, carry) ->
+    (fdata cropped, metrics [nsteps, 4], carry_out).  carry=None starts
+    fresh; `iterations` is the TOTAL planned count (fixes the step
+    size, compute.c:443) while `nsteps` is this chunk's length — so
+    long striped runs stream progress/CSV in chunks exactly like the
+    single-chip path (models/solver.solve_joint_chunked)."""
+    if nsteps is None:
+        nsteps = iterations
     nchannel = len(geoms)
     n = mesh.shape["y"]
     H, W, H2, W2, L = padded_striped_shape(geoms, n)
@@ -199,13 +208,24 @@ def _build_striped(
             return fnew, pgrad, dist
         return project_prob
 
-    def shard_body(*consts_and_f0):
-        """Runs per device under shard_map; args are local shards."""
-        dqs = consts_and_f0[0:nchannel]
-        los = consts_and_f0[nchannel:2 * nchannel]
-        his = consts_and_f0[2 * nchannel:3 * nchannel]
-        iqs = consts_and_f0[3 * nchannel:4 * nchannel]
-        f0 = consts_and_f0[4 * nchannel]      # [C, L, W2] local band
+    n_prob = sum(1 for c in range(nchannel) if p_alphas[c] != 0.0)
+
+    def shard_body(*args):
+        """Runs per device under shard_map; args are local shards:
+        4C box/prob constants, then the carry (f, fista [C, L, W2],
+        prob pixel-gradients [P, L, W2] when any, prob_dist, t)."""
+        dqs = args[0:nchannel]
+        los = args[nchannel:2 * nchannel]
+        his = args[2 * nchannel:3 * nchannel]
+        iqs = args[3 * nchannel:4 * nchannel]
+        f_in = args[4 * nchannel]             # [C, L, W2] local band
+        fi_in = args[4 * nchannel + 1]
+        if n_prob:
+            pg_stack = args[4 * nchannel + 2]
+            pd0, t0 = args[4 * nchannel + 3], args[4 * nchannel + 4]
+        else:
+            pg_stack = None
+            pd0, t0 = args[4 * nchannel + 2], args[4 * nchannel + 3]
 
         idx = jax.lax.axis_index("y")
         row0 = idx * L
@@ -307,30 +327,48 @@ def _build_striped(
                 [grad[c] for c in range(nchannel)],
                 sumsq_l, tv_l, tv2_l, fdatas, prob_dist, tnext)
 
-        f0s = tuple(f0[c] for c in range(nchannel))
-        pg0 = tuple(jnp.zeros((L, W2), jnp.float32)
-                    for c in range(nchannel) if prob_on[c])
-        init = (f0s, f0s, pg0, jnp.float32(0.0), jnp.float32(1.0))
-        (fdata, _, _, _, _), metrics = jax.lax.scan(
+        init = (
+            tuple(f_in[c] for c in range(nchannel)),
+            tuple(fi_in[c] for c in range(nchannel)),
+            tuple(pg_stack[p] for p in range(n_prob)) if n_prob else (),
+            pd0,
+            t0,
+        )
+        (fdata, fista, pgs, pd, t), metrics = jax.lax.scan(
             body_pallas if use_pallas else body_xla, init, None,
-            length=iterations)
-        return jnp.stack(fdata), metrics
+            length=nsteps)
+        outs = [jnp.stack(fdata), metrics, jnp.stack(fista)]
+        if n_prob:
+            outs.append(jnp.stack(pgs))
+        outs += [pd, t]
+        return tuple(outs)
 
     from jax.experimental.shard_map import shard_map
 
+    band = P(None, "y", None)
+    in_specs = ([P("y", None)] * (4 * nchannel) + [band, band]
+                + ([band] if n_prob else []) + [P(), P()])
+    out_specs = ([band, P(), band] + ([band] if n_prob else [])
+                 + [P(), P()])
     sharded = shard_map(
         shard_body, mesh=mesh,
-        in_specs=tuple([P("y", None)] * (4 * nchannel)
-                       + [P(None, "y", None)]),
-        out_specs=(P(None, "y", None), P()),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
         check_rep=False,
     )
 
-    def solve(datas, quants):
+    def solve(datas, quants, carry=None):
         dqs, los, his, iqs, f0 = _padded_consts(
             datas, quants, geoms, H, W, H2, W2)
-        fdata, metrics = sharded(*dqs, *los, *his, *iqs, f0)
-        return fdata[:, :H, :W], metrics
+        if carry is None:
+            pgz = ([jnp.zeros((n_prob, H2, W2), jnp.float32)]
+                   if n_prob else [])
+            carry = (f0, f0, *pgz,
+                     jnp.float32(0.0), jnp.float32(1.0))
+        outs = sharded(*dqs, *los, *his, *iqs, *carry)
+        fdata, metrics = outs[0], outs[1]
+        carry_out = (fdata,) + tuple(outs[2:])
+        return fdata[:, :H, :W], metrics, carry_out
 
     return jax.jit(solve)
 
@@ -345,8 +383,14 @@ def solve_striped(
     mesh: Mesh,
     simd_compat_logging: bool = True,
     use_pallas: Optional[bool] = None,
+    on_chunk=None,
+    chunk: Optional[int] = None,
 ):
-    """Striped multi-device solve.  Same contract as solve_joint."""
+    """Striped multi-device solve.  Same contract as solve_joint.
+
+    on_chunk(done_iterations, metrics_chunk), when given, switches to
+    resumable chunked execution (numerically identical) so progress
+    and CSV rows stream during the solve."""
     geoms = tuple(
         ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
         for d, (sy, sx) in zip(datas, samps)
@@ -358,12 +402,29 @@ def solve_striped(
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and pallas_striped_supported(geoms, n))
-    solver = _build_striped(
-        geoms, float(weight), tuple(float(p) for p in pweights),
-        int(iterations), bool(simd_compat_logging), mesh,
-        bool(use_pallas),
-    )
-    return solver(
-        [jnp.asarray(d) for d in datas],
-        [jnp.asarray(q) for q in quants],
-    )
+    key = (geoms, float(weight), tuple(float(p) for p in pweights),
+           int(iterations), bool(simd_compat_logging), mesh,
+           bool(use_pallas))
+    d_dev = [jnp.asarray(d) for d in datas]
+    q_dev = [jnp.asarray(q) for q in quants]
+    if on_chunk is None:
+        fdata, metrics, _ = _build_striped(*key)(d_dev, q_dev, None)
+        return fdata, metrics
+    # chunked execution: the carry resumes exactly (step size keys on
+    # the TOTAL count), so the progress bar ticks and the CSV streams
+    # during giant striped solves too
+    if chunk is None:
+        chunk = max(8, min(50, iterations // 20 or iterations))
+    done = 0
+    carry = None
+    fdata = None
+    all_metrics = []
+    while done < iterations:
+        nn = min(chunk, iterations - done)
+        fdata, metrics, carry = _build_striped(*key, nn)(
+            d_dev, q_dev, carry)
+        metrics = np.asarray(metrics)
+        done += nn
+        all_metrics.append(metrics)
+        on_chunk(done, metrics)
+    return fdata, np.concatenate(all_metrics)

@@ -78,22 +78,32 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
 
         # any geometry stripes: solve_striped zero-pads the canvas to
         # the stripe grid with frozen/FREE boxes and crops afterwards
+        channel_id = 3 if C > 1 else 0
+        on_chunk = None
+        if live and cfg.iterations[0] > 16:
+            def on_chunk(done, chunk_metrics):
+                if progress:
+                    progress.increment(chunk_metrics.shape[0])
+                if metrics_stream:
+                    metrics_stream(channel_id,
+                                   done - chunk_metrics.shape[0],
+                                   chunk_metrics)
         fdata, metrics = solve_striped(
             datas, quants, samps, cfg.weights[0], cfg.pweights[:C],
             cfg.iterations[0], stripe_mesh(stripes),
-            cfg.simd_compat_logging)
+            cfg.simd_compat_logging, on_chunk=on_chunk)
         # under multi-host execution the striped result is sharded
         # across processes: all-gather it once, here at the very end
         from jpeg2png_tpu.parallel.distributed import gather_output
         fdata = gather_output(fdata)
         metrics = gather_output(metrics)
-        channel_id = 3 if C > 1 else 0
         metrics_out[channel_id] = np.asarray(metrics)
         channels = [fdata[c] for c in range(C)]
-        if progress:
-            progress.increment(cfg.iterations[0])
-        if metrics_stream:
-            metrics_stream(channel_id, 0, np.asarray(metrics))
+        if on_chunk is None:
+            if progress:
+                progress.increment(cfg.iterations[0])
+            if metrics_stream:
+                metrics_stream(channel_id, 0, np.asarray(metrics))
     elif not cfg.separate_components or C == 1:
         channel_id = 3 if C > 1 else 0
         if live and cfg.iterations[0] > 16:

@@ -204,3 +204,16 @@ def test_tiny_jpeg_roundtrip(fixtures_dir):
         from jpeg2png_tpu.io import read_jpeg
         img = read_jpeg(data)
         assert (img.planes[1].h_samp, img.planes[1].w_samp) == (sy, sx)
+
+
+def test_reader_fuzz_smoke():
+    """Byte-mutation fuzz over the fixture corpus (the AFL recipe
+    analog, reference notes/afl.txt): every mutant must either parse
+    into a structurally-sound image or raise cleanly."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    from fuzz_reader import run
+
+    run(200, seed=1234, verbose=False)

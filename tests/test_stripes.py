@@ -201,3 +201,55 @@ def test_cli_tpu_stripes_e2e(fixtures_dir, tmp_path):
     mse = ((a - b) ** 2).mean()
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
     assert psnr > 55.0, psnr
+
+
+def test_collective_count_pallas_body(interpret_pallas):
+    """Same scaling guard for the fused Pallas striped body: per
+    iteration it must issue only the halo ppermutes (4 row-slivers per
+    channel) and the norm/objective/dist psums — a regression that adds
+    collectives (e.g. an accidental all-gather of a band) shows up in
+    the compiled HLO's loop body."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(3)
+    datas, quants, samps = synth(rng, [(16, 16, 1, 1)] * 3)
+    mesh = stripe_mesh(4)
+
+    from jpeg2png_tpu.parallel.stripes import _build_striped
+    geoms = tuple(ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+                  for d, (sy, sx) in zip(datas, samps))
+    solver = _build_striped(geoms, 0.3, (0.001,) * 3, 3, True,
+                            mesh, True)
+    import jax.numpy as jnp
+    hlo = solver.lower(
+        [jnp.asarray(d) for d in datas],
+        [jnp.asarray(q) for q in quants]).compile().as_text()
+    n_coll = hlo.count("collective-permute(") + hlo.count("all-reduce(")
+    C = 3
+    assert n_coll <= 4 * C + 4, f"{n_coll} collectives in the loop body"
+    assert "all-gather(" not in hlo.split("ENTRY")[0]
+
+
+def test_striped_chunked_matches_one_shot():
+    """Chunked striped execution (live progress/CSV for giant images)
+    resumes exactly: same compiled body, carry round-trips through the
+    host loop."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(9)
+    datas, quants, samps = synth(rng, [(16, 16, 1, 1)] * 3)
+    mesh = stripe_mesh(4)
+
+    seen = []
+    fd_c, m_c = solve_striped(
+        datas, quants, samps, 0.3, [0.001] * 3, 10, mesh,
+        use_pallas=False, chunk=4,
+        on_chunk=lambda done, m: seen.append((done, m.shape[0])))
+    fd_1, m_1 = solve_striped(
+        datas, quants, samps, 0.3, [0.001] * 3, 10, mesh,
+        use_pallas=False)
+    assert seen == [(4, 4), (8, 4), (10, 2)]
+    np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fd_c), np.asarray(fd_1),
+                               atol=1e-4)
