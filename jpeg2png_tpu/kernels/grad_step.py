@@ -312,9 +312,15 @@ def _pick_stripe(h: int, w: int) -> int:
     """Stripe height: bound VMEM tile bytes ~ 5 * C * (SH+16) * W * 4.
 
     HBM DMA slices must be 8-row aligned (Mosaic (8,128) tiling), so the
-    halo is 8 rows per side even though the stencil only needs 2."""
+    halo is 8 rows per side even though the stencil only needs 2.
+    Capped at 64 rows in the wide-lane regime: TGV2 stencil tiles
+    around 128x2048 cross a Mosaic codegen resource and run ~2x slower
+    per pixel (see kernels/iter_step.stripe_h)."""
     budget = 48 * 1024 * 1024
+    cap = 64 if w > 1024 else 256
     for sh in (256, 128, 64, 32, 16, 8):
+        if sh > cap:
+            continue
         if 5 * 3 * (sh + 16) * w * 4 <= budget and h >= sh + 16:
             return sh
     return 0

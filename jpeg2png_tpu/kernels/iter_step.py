@@ -47,7 +47,8 @@ Other design points:
 Geometry: fused_solve zero-pads any block-aligned canvas to the
 128-aligned shape the kernel needs (see _pad_shape); the only real
 gates are the VMEM state budget (~1.9 MP at C=3) and a padding-waste
-cap for tiny images.  Both phases use SH=128 row stripes.
+cap for tiny images.  Both phases use stripe_h(W) row stripes
+(128, dropping to 64 in the wide-lane regime — see stripe_h).
 
 Mosaic constraints: ANY memory space with manual DMA at the staging
 edges, 8-row-aligned dynamic VMEM slices, per-channel 2-D tiles,
@@ -69,15 +70,28 @@ from jpeg2png_tpu.kernels.grad_step import (
     _cols2d, _roll, _rows2d, _shift_x, _shift_y)
 from jpeg2png_tpu.kernels.project_step import _ab_tiles, _dot3, _split
 
-SH = 128          # stripe height (pixel rows) for both phases
 _F32 = jnp.float32
+
+
+def stripe_h(w_pad: int) -> int:
+    """Stripe height for both kernel phases, by PADDED canvas width.
+
+    128 in the narrow regime; 64 once rows exceed 8 lane-tiles —
+    measured (round 2): with SH=128 tiles, canvases combining TGV2 +
+    >= 1 MP + W > 1024 run ~2x slower per pixel (512x2048: 289
+    us/(MP*iter)); with SH=64 tiles the penalty vanishes entirely
+    (148, equal to the W=1024 rate).  The TGV2 stencil's ~20 live
+    [SH+16, W] temporaries apparently cross a Mosaic codegen resource
+    at tile sizes around 128x2048; halving the stripe keeps every
+    stripe tile under it."""
+    return 64 if w_pad > 1024 else 128
 
 
 def _kernel(
     factors_ref,           # scalar-prefetch [nsteps] FISTA factors
     *refs,                 # [extents (2,) i32 prefetch when dynamic]
     C, P, H, W, H_true, W_true, weight, prob_mask, samps, p_alpha_sss,
-    TCs, NS, step, nsteps, dynamic,
+    TCs, NS, step, nsteps, dynamic, SH,
 ):
     """refs layout (inputs, then outputs, then scratch):
 
@@ -476,9 +490,10 @@ def _pad_shape(H: int, W: int, samps):
     max_sx = max(sx for _, sx in samps)
     wq = 128 * max_sx
     W_pad = -(-W // wq) * wq
-    H_pad = -(-H // SH) * SH
-    if H_pad < SH + 16:
-        H_pad += SH
+    sh = stripe_h(W_pad)
+    H_pad = -(-H // sh) * sh
+    if H_pad < sh + 16:
+        H_pad += sh
     return H_pad, W_pad
 
 
@@ -489,7 +504,7 @@ def supports(C: int, H: int, W: int, samps, geoms_full_canvas: bool) -> bool:
     if H % 8 or W % 8:
         return False
     for sy, sx in samps:
-        if SH % (8 * sy) or W % sx or H % sy:
+        if 64 % (8 * sy) or W % sx or H % sy:
             return False
     H_pad, W_pad = _pad_shape(H, W, samps)
     # whole-solve VMEM budget: three f32 canvases + the devq carry
@@ -541,9 +556,11 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
     dynamic = extents is not None
     if dynamic:
         H, W = H_true, W_true   # caller already padded to the bucket
+        SH = stripe_h(W)
         assert H % SH == 0 and H >= SH + 16 and W % 128 == 0, (H, W)
     else:
         H, W = _pad_shape(H_true, W_true, samps)
+        SH = stripe_h(W)
     prob_mask = tuple(pa != 0.0 for pa in p_alpha_sss)
     P = sum(prob_mask)
     NS = H // SH
@@ -583,7 +600,7 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
         p_alpha_sss=tuple(float(p) for p in p_alpha_sss),
         TCs=TCs, NS=NS,
         step=0.0 if dynamic else float(step_size),
-        nsteps=int(nsteps), dynamic=dynamic)
+        nsteps=int(nsteps), dynamic=dynamic, SH=SH)
 
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     n_in = 2 * C + P + 2 * C + 4 * n_samp

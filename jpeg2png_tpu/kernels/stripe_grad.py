@@ -290,10 +290,15 @@ def _kernel(
 
 
 def _pick_stripe(L: int, W: int, C: int) -> int:
-    """Largest SH dividing the band height L within the VMEM budget."""
+    """Largest SH dividing the band height L within the VMEM budget.
+
+    Capped at 64 rows in the wide-lane regime — TGV2 stencil tiles
+    around 128x2048 cross a Mosaic codegen resource and run ~2x slower
+    per pixel (see kernels/iter_step.stripe_h)."""
     budget = 48 * 1024 * 1024
+    cap = 64 if W > 1024 else 256
     for sh in (256, 128, 64, 32, 16, 8):
-        if L % sh:
+        if sh > cap or L % sh:
             continue
         if C * (2 * (sh + 16) + 2 * sh) * W * 4 <= budget:
             return sh
