@@ -509,11 +509,15 @@ def supports(C: int, H: int, W: int, samps, geoms_full_canvas: bool) -> bool:
     H_pad, W_pad = _pad_shape(H, W, samps)
     # whole-solve VMEM budget: three f32 canvases + the devq carry
     # (4 B/coef, worst case all channels prob-enabled; the int16 data
-    # and quant rasters stream per stripe) + ~16 MB for stencil
-    # temporaries and tiles, against ~110 MB of usable v5e VMEM
+    # and quant rasters stream per stripe) + ~12 MB for stencil
+    # temporaries and tiles (SH<=64 in the wide regime keeps them
+    # small), against ~124 MB of physical v5e VMEM.  Probed round 2:
+    # 2.21 MP (state ~95 MB) runs at full speed (~8400 MP*iter/s);
+    # 2.43 MP (~103 MB) starts spilling (~4700) but still well beats
+    # the two-kernel tier; beyond this gate it would degrade past it.
     canvases = 3 * 4 * C * H_pad * W_pad
     consts = sum(4 * (H_pad // sy) * (W_pad // sx) for sy, sx in samps)
-    if canvases + consts + 16 * 1024 * 1024 > 105 * 1024 * 1024:
+    if canvases + consts + 12 * 1024 * 1024 > 118 * 1024 * 1024:
         return False
     # tiny images: padding waste makes the XLA path competitive anyway
     if H_pad * W_pad > 4 * H * W:
@@ -657,7 +661,7 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
         compiler_params=pltpu.CompilerParams(
             # the whole-solve canvases intentionally exceed the 16 MB
             # default scoped-vmem cap; v5e has far more physical VMEM
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=124 * 1024 * 1024,
         ),
     )(*prefetch, *f0s, *fista0s, *devq0s,
       *datas_i16, *q_rs, *ab_consts)
