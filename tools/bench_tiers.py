@@ -63,6 +63,7 @@ TIERS = [
     ("0.26MP 512x512", 64, 64, 1000, 3000),
     ("1.05MP 1024x1024", 128, 128, 200, 600),
     ("1.64MP 1280x1280", 160, 160, 100, 400),
+    ("2.21MP 1536x1440", 192, 180, 60, 260),
     ("3.15MP 2048x1536", 256, 192, 50, 200),
     ("6.29MP 2048x3072", 256, 384, 30, 130),
 ]
