@@ -66,11 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--separate-components", action="store_true",
                    help="optimize components separately")
     p.add_argument("-t", "--threads", type=int, default=None,
-                   help="max host worker threads for multi-file batches "
-                        "(NOTE: differs from the reference, where -t "
-                        "bounds OpenMP solve threads; here each solve is "
-                        "one device dispatch and -t only sizes the host "
-                        "IO/decode pool)")
+                   help="max parallelism: host worker threads for "
+                        "multi-file IO, and with --tpu-batch also the "
+                        "max devices a bucket fans out over (the "
+                        "reference's -t bounds OpenMP solve threads; "
+                        "here solves are device dispatches, so -t "
+                        "bounds both pools)")
     p.add_argument("-1", "--16-bits-png", dest="png16", action="store_true",
                    help="output 16-bit PNG")
     p.add_argument("-c", "--csv-log", default=None, metavar="csv_log",
@@ -205,7 +206,8 @@ def main(argv=None) -> int:
 
         pixels = decode_files_batched(
             args.inputs, cfg, bits,
-            io_threads=args.threads or 8, logger=logger, errors=errors)
+            io_threads=args.threads or 8, logger=logger, errors=errors,
+            data_parallel=args.threads)
         for infile, outfile in pairs:
             if infile not in pixels:
                 continue   # read/solve failure already recorded
