@@ -79,6 +79,90 @@ class CheckpointedResult:
     resumed_from: int
 
 
+def solve_striped_checkpointed(
+    datas,
+    quants,
+    samps,
+    weight: float,
+    pweights,
+    iterations: int,
+    mesh,
+    checkpoint_path: str,
+    checkpoint_every: int = 100,
+    simd_compat_logging: bool = True,
+    use_pallas: Optional[bool] = None,
+    resume: bool = True,
+) -> CheckpointedResult:
+    """Checkpoint/resume for STRIPED multi-device solves — the giant
+    images sharded over a mesh are exactly the runs long enough to
+    need it.  The striped carry (padded f/fista canvases, prob
+    gradients, prob_dist, t) gathers to host .npz snapshots every
+    `checkpoint_every` iterations; on resume the host arrays reshard
+    onto the mesh through the solver's in_specs.  Chunked striped
+    execution is numerically identical to one uninterrupted solve
+    (the step size keys on the TOTAL count; tests/test_stripes.py
+    proves chunk == one-shot)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from jpeg2png_tpu.parallel.stripes import (
+        _build_striped, pallas_striped_supported, stripes_supported,
+    )
+
+    geoms = tuple(
+        ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+        for d, (sy, sx) in zip(datas, samps)
+    )
+    n = mesh.shape["y"]
+    if not stripes_supported(geoms, n):
+        raise ValueError(
+            f"geometry {geoms} cannot be striped over {n} devices")
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and pallas_striped_supported(geoms, n))
+    # fingerprint includes the striped carry format AND the stripe
+    # count: a carry written for another mesh width has differently
+    # padded canvases and must be rejected, not reinterpreted
+    blob = repr(("striped-carry-v1", n, bool(use_pallas), geoms,
+                 float(weight), tuple(pweights), int(iterations))).encode()
+    fp = hashlib.sha256(blob).hexdigest()[:16]
+
+    key = (geoms, float(weight), tuple(float(p) for p in pweights),
+           int(iterations), bool(simd_compat_logging), mesh,
+           bool(use_pallas))
+    d_dev = [jnp.asarray(d) for d in datas]
+    q_dev = [jnp.asarray(q) for q in quants]
+
+    start = 0
+    carry = None
+    if resume and os.path.exists(checkpoint_path):
+        carry, start = load_state(checkpoint_path, fp)
+        carry = jax.tree.map(jnp.asarray, carry)
+
+    all_metrics = []
+    done = start
+    fdata = None
+    while done < iterations:
+        nn = min(checkpoint_every, iterations - done)
+        fdata, metrics, carry = _build_striped(*key, nn)(
+            d_dev, q_dev, carry)
+        all_metrics.append(np.asarray(metrics))
+        done += nn
+        if done < iterations:
+            save_state(checkpoint_path, carry, done, fp)
+
+    if os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
+
+    return CheckpointedResult(
+        fdata=np.asarray(fdata),
+        metrics=(np.concatenate(all_metrics)
+                 if all_metrics else np.zeros((0, 4), np.float32)),
+        resumed_from=start,
+    )
+
+
 def solve_checkpointed(
     datas: Sequence[np.ndarray],
     quants: Sequence[np.ndarray],

@@ -76,3 +76,62 @@ def test_fingerprint_mismatch_refused(tmp_path):
     save_state(ckpt, {"x": np.zeros(3)}, 1, "deadbeefdeadbeef")
     with pytest.raises(ValueError, match="different solve configuration"):
         load_state(ckpt, "0123456789abcdef")
+
+
+def test_striped_checkpoint_chunked_and_resume(tmp_path):
+    """Striped checkpoint/resume: chunked == one-shot, and a snapshot
+    left by a partial run resumes to the identical final state."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jpeg2png_tpu.models.checkpoint import solve_striped_checkpointed
+    from jpeg2png_tpu.parallel.mesh import stripe_mesh
+    from jpeg2png_tpu.parallel.stripes import solve_striped
+
+    rng = np.random.default_rng(44)
+    datas, quants, samps = synth(rng)
+    # stripeable geometry: 4x bigger luma
+    datas[0] = rng.integers(-25, 25, (16, 16, 8, 8)).astype(np.int16)
+    datas[1] = rng.integers(-12, 12, (8, 8, 8, 8)).astype(np.int16)
+    datas[2] = rng.integers(-12, 12, (8, 8, 8, 8)).astype(np.int16)
+    mesh = stripe_mesh(4)
+    ckpt = str(tmp_path / "striped.npz")
+
+    res = solve_striped_checkpointed(
+        datas, quants, samps, 0.3, [0.001] * 3, 6, mesh,
+        checkpoint_path=ckpt, checkpoint_every=2, use_pallas=False)
+    fd, m = solve_striped(datas, quants, samps, 0.3, [0.001] * 3, 6,
+                          mesh, use_pallas=False)
+    np.testing.assert_array_equal(res.fdata, np.asarray(fd))
+    np.testing.assert_array_equal(res.metrics, np.asarray(m))
+    assert not (tmp_path / "striped.npz").exists()
+
+    # simulated crash: run 4 of 6 via a tiny checkpoint_every and stop
+    # by copying the snapshot written after iteration 4
+    import shutil
+
+    from jpeg2png_tpu.models import checkpoint as C
+    from jpeg2png_tpu.parallel.stripes import _build_striped
+    import jax.numpy as jnp
+    from jpeg2png_tpu.models.solver import ChannelGeometry
+    geoms = tuple(ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+                  for d, (sy, sx) in zip(datas, samps))
+    key = (geoms, 0.3, (0.001,) * 3, 6, True, mesh, False)
+    d = [jnp.asarray(x) for x in datas]
+    q = [jnp.asarray(x) for x in quants]
+    _, m_first, carry = _build_striped(*key, 4)(d, q, None)
+    import hashlib
+    blob = repr(("striped-carry-v1", 4, False, geoms, 0.3,
+                 tuple([0.001] * 3), 6)).encode()
+    fp = hashlib.sha256(blob).hexdigest()[:16]
+    C.save_state(ckpt, carry, 4, fp)
+
+    res2 = solve_striped_checkpointed(
+        datas, quants, samps, 0.3, [0.001] * 3, 6, mesh,
+        checkpoint_path=ckpt, checkpoint_every=100, use_pallas=False)
+    assert res2.resumed_from == 4
+    np.testing.assert_allclose(res2.fdata, np.asarray(fd), atol=1e-5)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(m_first), res2.metrics]),
+        np.asarray(m), rtol=1e-6)
