@@ -40,18 +40,60 @@ def _fingerprint(geoms, weight, pweights, iterations, use_pallas) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def _to_host(x) -> np.ndarray:
+    """Carry leaf -> host array, multi-host safe.
+
+    In a multi-controller run the striped carry is sharded
+    P(None, "y", None) across processes and is not fully addressable,
+    so a plain np.asarray would raise; gather the global value instead
+    (every process ends up with the full array — same pattern as
+    distributed.gather_output)."""
+    if isinstance(x, np.ndarray):
+        return x
+    if (isinstance(x, jax.Array)
+            and not x.is_fully_addressable
+            and not x.is_fully_replicated):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def save_state(path, carry, iteration: int, fingerprint: str) -> None:
+    """Snapshot a solver carry to `path` atomically.
+
+    The write goes to an open temp-file handle in the target directory
+    and os.replace()s over `path` — np.savez on a file object never
+    appends '.npz' (so the os.path.exists checks on resume see the real
+    file), and a kill mid-write can never leave a truncated snapshot
+    that crashes np.load on resume."""
+    import os
+    import tempfile
+
     leaves, treedef = jax.tree.flatten(carry)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {f"leaf_{i}": _to_host(x) for i, x in enumerate(leaves)}
     buf = io.BytesIO()
     pickle.dump(treedef, buf)
-    np.savez(
-        path,
-        _treedef=np.frombuffer(buf.getvalue(), dtype=np.uint8),
-        _iteration=np.int64(iteration),
-        _fingerprint=np.frombuffer(fingerprint.encode(), dtype=np.uint8),
-        **arrays,
-    )
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                _treedef=np.frombuffer(buf.getvalue(), dtype=np.uint8),
+                _iteration=np.int64(iteration),
+                _fingerprint=np.frombuffer(fingerprint.encode(),
+                                           dtype=np.uint8),
+                **arrays,
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_state(path, fingerprint: str):
@@ -124,7 +166,7 @@ def solve_striped_checkpointed(
     # fingerprint includes the striped carry format AND the stripe
     # count: a carry written for another mesh width has differently
     # padded canvases and must be rejected, not reinterpreted
-    blob = repr(("striped-carry-v1", n, bool(use_pallas), geoms,
+    blob = repr(("striped-carry-v2", n, bool(use_pallas), geoms,
                  float(weight), tuple(pweights), int(iterations))).encode()
     fp = hashlib.sha256(blob).hexdigest()[:16]
 
@@ -136,9 +178,14 @@ def solve_striped_checkpointed(
 
     start = 0
     carry = None
+    # only delete the snapshot on completion if THIS run validated it
+    # (fingerprint-matched load) or wrote it — never a file belonging
+    # to a different configuration the caller asked to ignore
+    own_checkpoint = False
     if resume and os.path.exists(checkpoint_path):
         carry, start = load_state(checkpoint_path, fp)
         carry = jax.tree.map(jnp.asarray, carry)
+        own_checkpoint = True
 
     all_metrics = []
     done = start
@@ -151,8 +198,9 @@ def solve_striped_checkpointed(
         done += nn
         if done < iterations:
             save_state(checkpoint_path, carry, done, fp)
+            own_checkpoint = True
 
-    if os.path.exists(checkpoint_path):
+    if own_checkpoint and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
 
     return CheckpointedResult(
@@ -199,9 +247,11 @@ def solve_checkpointed(
 
     start = 0
     carry = None
+    own_checkpoint = False
     if resume and os.path.exists(checkpoint_path):
         carry, start = load_state(checkpoint_path, fp)
         carry = jax.tree.map(jnp.asarray, carry)
+        own_checkpoint = True
 
     init_fn = jax.jit(lambda d, q: impl(d, q, None, 0)[2])
     if carry is None:
@@ -219,9 +269,12 @@ def solve_checkpointed(
         done += chunk
         if done < iterations:
             save_state(checkpoint_path, carry, done, fp)
+            own_checkpoint = True
 
-    # completed: remove the snapshot so a rerun starts fresh
-    if os.path.exists(checkpoint_path):
+    # completed: remove the snapshot so a rerun starts fresh — but only
+    # one this run wrote or fingerprint-validated (resume=False must
+    # not delete a stranger's file)
+    if own_checkpoint and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
 
     return CheckpointedResult(

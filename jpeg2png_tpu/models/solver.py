@@ -729,7 +729,10 @@ def solve_joint_chunked(
            bool(use_pallas))
     d_dev = [jnp.asarray(d) for d in datas]
     q_dev = [jnp.asarray(q) for q in quants]
-    carry = _chunk_step_fn(*key, 0)(d_dev, q_dev, None)[2]
+    fdata0, _, carry = _chunk_step_fn(*key, 0)(d_dev, q_dev, None)
+    if iterations == 0:
+        # degenerate but valid: the initial decode, like solve_joint
+        return fdata0, np.zeros((0, 4), np.float32)
 
     all_metrics = []
     done = 0

@@ -78,6 +78,12 @@ def gather_output(fdata):
 
     if not is_multi_process():
         return np.asarray(fdata)
+    if isinstance(fdata, np.ndarray):
+        # already a host array — every process holds the same copy
+        # (e.g. chunked-solve metrics, concatenated on each host from
+        # P() out specs); allgathering it would concatenate
+        # process_count identical copies
+        return fdata
     if getattr(fdata, "is_fully_replicated", False):
         # every host already holds a replica (e.g. the metrics, out
         # spec P()) — a local read suffices

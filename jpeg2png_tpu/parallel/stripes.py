@@ -233,12 +233,24 @@ def _build_striped(
         prob_on = [p_alphas[c] != 0.0 for c in range(nchannel)]
 
         def finish_iteration(extraps, grads, sumsq_l, tv_l, tv2_l,
-                             fdatas, prob_dist, tnext):
-            """Global psums + normalized step + projection; shared by
-            the Pallas and XLA bodies (everything after the gradient)."""
-            sumsq = jax.lax.psum(sumsq_l, "y")
-            tv = jax.lax.psum(tv_l, "y")
-            tv2 = jax.lax.psum(tv2_l, "y")
+                             fdatas, pd_local, tnext):
+            """ONE fused global psum + normalized step + projection;
+            shared by the Pallas and XLA bodies.
+
+            All per-iteration scalar couplings ride one [C+3] vector
+            all-reduce: the C gradient norms (the reference's global
+            do_step normalization, compute.c:200-216), the tv/tv2
+            objective sums, and the PREVIOUS iteration's prob distance
+            — the prob term is logged one iteration behind anyway
+            (compute.c:381 reads the previous projection's cos), so its
+            psum defers into the next iteration's vector for free.
+            pd_local is each device's (1,) local partial."""
+            vec = jnp.concatenate(
+                [sumsq_l, jnp.stack([tv_l, tv2_l, pd_local[0]])])
+            vec = jax.lax.psum(vec, "y")
+            sumsq = vec[:nchannel]
+            tv, tv2, prob_dist = vec[nchannel], vec[nchannel + 1], \
+                vec[nchannel + 2]
             norms = jnp.sqrt(sumsq)
             scale = jnp.where(norms == 0.0, 0.0, step_size / norms)
 
@@ -263,12 +275,11 @@ def _build_striped(
                 if pg is not None:
                     new_pg.append(pg)
                 dist_local = dist_local + d
-            prob_dist_next = jax.lax.psum(dist_local, "y")
 
             objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
             metrics = jnp.stack([objective, prob_dist, tv, tv2])
             carry = (tuple(new_f), tuple(fdatas), tuple(new_pg),
-                     prob_dist_next, tnext)
+                     jnp.reshape(dist_local, (1,)), tnext)
             return carry, metrics
 
         def body_pallas(carry, _):
@@ -278,15 +289,25 @@ def _build_striped(
             tnext, factor = fista_factor(t)
 
             # --- 8-row halo exchange over ICI (zeros at boundaries);
-            #     8 not 2 because DMA row slices must be 8-aligned ---
-            f_tops = [jax.lax.ppermute(f[-8:, :], "y", up_perm)
-                      for f in fdatas]
-            f_bots = [jax.lax.ppermute(f[:8, :], "y", down_perm)
-                      for f in fdatas]
-            fi_tops = [jax.lax.ppermute(f[-8:, :], "y", up_perm)
-                       for f in fistas]
-            fi_bots = [jax.lax.ppermute(f[:8, :], "y", down_perm)
-                       for f in fistas]
+            #     8 not 2 because DMA row slices must be 8-aligned.
+            #     ALL channels' f and fista slivers ride ONE ppermute
+            #     per direction (a [2C*8, W] payload): at pod scale the
+            #     striped iteration is latency-bound, so collective
+            #     COUNT, not bytes, is the efficiency knob ---
+            up_payload = jnp.concatenate(
+                [f[-8:, :] for f in fdatas]
+                + [f[-8:, :] for f in fistas], axis=0)
+            down_payload = jnp.concatenate(
+                [f[:8, :] for f in fdatas]
+                + [f[:8, :] for f in fistas], axis=0)
+            tops = jax.lax.ppermute(up_payload, "y", up_perm)
+            bots = jax.lax.ppermute(down_payload, "y", down_perm)
+            f_tops = [tops[8 * c:8 * c + 8, :] for c in range(nchannel)]
+            fi_tops = [tops[8 * (nchannel + c):8 * (nchannel + c) + 8, :]
+                       for c in range(nchannel)]
+            f_bots = [bots[8 * c:8 * c + 8, :] for c in range(nchannel)]
+            fi_bots = [bots[8 * (nchannel + c):8 * (nchannel + c) + 8, :]
+                       for c in range(nchannel)]
 
             pg_in, k = [], 0
             for c in range(nchannel):
@@ -345,11 +366,14 @@ def _build_striped(
 
     from jax.experimental.shard_map import shard_map
 
+    # the prob-dist carry is a per-device (1,) LOCAL partial (its psum
+    # is deferred into the next iteration's fused vector all-reduce),
+    # so it shards P("y") — global shape (n,) — instead of replicating
     band = P(None, "y", None)
     in_specs = ([P("y", None)] * (4 * nchannel) + [band, band]
-                + ([band] if n_prob else []) + [P(), P()])
+                + ([band] if n_prob else []) + [P("y"), P()])
     out_specs = ([band, P(), band] + ([band] if n_prob else [])
-                 + [P(), P()])
+                 + [P("y"), P()])
     sharded = shard_map(
         shard_body, mesh=mesh,
         in_specs=tuple(in_specs),
@@ -364,7 +388,7 @@ def _build_striped(
             pgz = ([jnp.zeros((n_prob, H2, W2), jnp.float32)]
                    if n_prob else [])
             carry = (f0, f0, *pgz,
-                     jnp.float32(0.0), jnp.float32(1.0))
+                     jnp.zeros((n,), jnp.float32), jnp.float32(1.0))
         outs = sharded(*dqs, *los, *his, *iqs, *carry)
         fdata, metrics = outs[0], outs[1]
         carry_out = (fdata,) + tuple(outs[2:])

@@ -69,6 +69,54 @@ def test_resume_after_partial_run(tmp_path):
     np.testing.assert_array_equal(res.metrics, np.asarray(m_full)[4:])
 
 
+def test_save_state_extension_exact_and_atomic(tmp_path):
+    """np.savez on a *path* appends '.npz', which would break the
+    os.path.exists resume checks; the open-file-handle + os.replace
+    write is extension-exact and leaves no temp droppings."""
+    import os
+
+    ckpt = str(tmp_path / "state.ckpt")
+    save_state(ckpt, {"x": np.arange(5)}, 3, "0123456789abcdef")
+    assert os.path.exists(ckpt)
+    assert not os.path.exists(ckpt + ".npz")
+    carry, it = load_state(ckpt, "0123456789abcdef")
+    assert it == 3
+    np.testing.assert_array_equal(carry["x"], np.arange(5))
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["state.ckpt"]
+
+
+def test_foreign_checkpoint_not_deleted(tmp_path):
+    """resume=False with an existing mismatched snapshot: the run must
+    not delete a file it neither wrote nor validated."""
+    import os
+
+    rng = np.random.default_rng(45)
+    datas, quants, samps = synth(rng)
+    ckpt = str(tmp_path / "state.npz")
+    save_state(ckpt, {"x": np.zeros(3)}, 1, "deadbeefdeadbeef")
+    res = solve_checkpointed(datas, quants, samps, 0.3, [0.001] * 3,
+                             iterations=3, checkpoint_path=ckpt,
+                             checkpoint_every=100, resume=False,
+                             use_pallas=False)
+    assert res.resumed_from == 0
+    assert os.path.exists(ckpt)   # foreign file untouched
+
+
+def test_chunked_iterations_zero():
+    """solve_joint_chunked(iterations=0) returns the initial decode
+    like solve_joint, not (None, empty)."""
+    from jpeg2png_tpu.models.solver import solve_joint_chunked
+
+    rng = np.random.default_rng(46)
+    datas, quants, samps = synth(rng)
+    fd, m = solve_joint_chunked(datas, quants, samps, 0.3, [0.001] * 3,
+                                0, use_pallas=False)
+    assert m.shape == (0, 4)
+    fd1, _ = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 0,
+                         use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(fd), np.asarray(fd1))
+
+
 def test_fingerprint_mismatch_refused(tmp_path):
     rng = np.random.default_rng(43)
     datas, quants, samps = synth(rng)
@@ -122,7 +170,7 @@ def test_striped_checkpoint_chunked_and_resume(tmp_path):
     q = [jnp.asarray(x) for x in quants]
     _, m_first, carry = _build_striped(*key, 4)(d, q, None)
     import hashlib
-    blob = repr(("striped-carry-v1", 4, False, geoms, 0.3,
+    blob = repr(("striped-carry-v2", 4, False, geoms, 0.3,
                  tuple([0.001] * 3), 6)).encode()
     fp = hashlib.sha256(blob).hexdigest()[:16]
     C.save_state(ckpt, carry, 4, fp)

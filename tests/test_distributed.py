@@ -47,6 +47,11 @@ _WORKER = textwrap.dedent("""
         use_pallas=False)
     m = gather_output(metrics)          # replicated: local read
     assert np.isfinite(m).all() and m.shape == (2, 4)
+    # host np arrays (e.g. chunked-solve metrics) are already
+    # replicated per-process: gather_output must pass them through,
+    # NOT concatenate process_count identical copies
+    m_again = gather_output(np.asarray(m))
+    assert m_again.shape == (2, 4), m_again.shape
     fd = gather_output(fdata)           # row-sharded across processes
     assert fd.shape == (3, 32, 128), fd.shape
     assert np.isfinite(fd).all()

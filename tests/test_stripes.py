@@ -153,11 +153,13 @@ def test_padded_striped_shape():
 
 
 def test_collective_count():
-    """Scaling regression guard: the striped body must issue exactly
-    4 collectives per iteration — 2 halo ppermutes (top/bot batched
-    over channels) ... actually per-channel-batched: count psums = 3
-    (norm, tv, tv2 fused or not) + 1 dist psum, and 2C+2C ppermutes
-    max.  Gate loosely: collective ops per iteration <= 4*C + 4."""
+    """Scaling regression guard (VERDICT round-2 item 1): the striped
+    iteration is latency-bound at pod scale, so collective COUNT is the
+    efficiency knob.  The body must issue exactly 3 collectives per
+    iteration: 2 halo ppermutes (top/bottom, all channels' f+fista
+    slivers in one payload each) + 1 fused [C+3] vector all-reduce
+    (norms, tv, tv2, and the previous iteration's prob dist — deferred
+    one iteration into the shared vector).  Gate at <= 4 for slack."""
     if len(jax.devices()) < 4:
         pytest.skip("not enough devices")
     rng = np.random.default_rng(3)
@@ -176,9 +178,8 @@ def test_collective_count():
     hlo = lowered.compile().as_text()
     n_coll = hlo.count("collective-permute(") + hlo.count(
         "all-reduce(")
-    C = 3
     # while-loop body counts once regardless of iteration count
-    assert n_coll <= 4 * C + 4, f"{n_coll} collectives in the loop body"
+    assert n_coll <= 4, f"{n_coll} collectives in the loop body"
 
 
 def test_cli_tpu_stripes_e2e(fixtures_dir, tmp_path):
@@ -205,10 +206,10 @@ def test_cli_tpu_stripes_e2e(fixtures_dir, tmp_path):
 
 def test_collective_count_pallas_body(interpret_pallas):
     """Same scaling guard for the fused Pallas striped body: per
-    iteration it must issue only the halo ppermutes (4 row-slivers per
-    channel) and the norm/objective/dist psums — a regression that adds
-    collectives (e.g. an accidental all-gather of a band) shows up in
-    the compiled HLO's loop body."""
+    iteration exactly 2 batched halo ppermutes + 1 fused vector
+    all-reduce — a regression that adds collectives (e.g. an
+    accidental all-gather of a band) shows up in the compiled HLO's
+    loop body."""
     if len(jax.devices()) < 4:
         pytest.skip("not enough devices")
     rng = np.random.default_rng(3)
@@ -225,8 +226,7 @@ def test_collective_count_pallas_body(interpret_pallas):
         [jnp.asarray(d) for d in datas],
         [jnp.asarray(q) for q in quants]).compile().as_text()
     n_coll = hlo.count("collective-permute(") + hlo.count("all-reduce(")
-    C = 3
-    assert n_coll <= 4 * C + 4, f"{n_coll} collectives in the loop body"
+    assert n_coll <= 4, f"{n_coll} collectives in the loop body"
     assert "all-gather(" not in hlo.split("ENTRY")[0]
 
 
