@@ -177,12 +177,17 @@ def main(argv=None) -> int:
     from jpeg2png_tpu.utils.logger import ConvergenceLogger
     from jpeg2png_tpu.utils.progress import ProgressBar
 
-    csv_f = open(args.csv_log, "w") if args.csv_log else None
+    # rank-0-only host side effects in multi-controller runs: one CSV
+    # file, one progress bar (jpeg2png.c:162-165's single-writer analog)
+    from jpeg2png_tpu.parallel.distributed import is_primary
+    primary = is_primary()
+
+    csv_f = open(args.csv_log, "w") if (args.csv_log and primary) else None
     logger = ConvergenceLogger(csv_f)
 
     total = (nin * cfg.iterations[0] if not cfg.separate_components
              else nin * sum(cfg.iterations))
-    progress = None if args.quiet else ProgressBar(total)
+    progress = None if (args.quiet or not primary) else ProgressBar(total)
 
     failures = 0
 

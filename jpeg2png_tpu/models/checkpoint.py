@@ -71,8 +71,16 @@ def save_state(path, carry, iteration: int, fingerprint: str) -> None:
     import os
     import tempfile
 
+    from jpeg2png_tpu.parallel.distributed import barrier, is_primary
+
     leaves, treedef = jax.tree.flatten(carry)
+    # the gather is a collective — EVERY process runs it; only rank 0
+    # then writes the file (shared-filesystem model, like every JAX
+    # multihost checkpointing scheme; resume reads it on all ranks)
     arrays = {f"leaf_{i}": _to_host(x) for i, x in enumerate(leaves)}
+    if not is_primary():
+        barrier("jpeg2png-ckpt-save")
+        return
     buf = io.BytesIO()
     pickle.dump(treedef, buf)
     d = os.path.dirname(os.path.abspath(path))
@@ -94,6 +102,7 @@ def save_state(path, carry, iteration: int, fingerprint: str) -> None:
         except OSError:
             pass
         raise
+    barrier("jpeg2png-ckpt-save")
 
 
 def load_state(path, fingerprint: str):
@@ -200,11 +209,14 @@ def solve_striped_checkpointed(
             save_state(checkpoint_path, carry, done, fp)
             own_checkpoint = True
 
-    if own_checkpoint and os.path.exists(checkpoint_path):
+    from jpeg2png_tpu.parallel.distributed import barrier, is_primary
+    if own_checkpoint and is_primary() and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
+    if own_checkpoint:
+        barrier("jpeg2png-ckpt-done")
 
     return CheckpointedResult(
-        fdata=np.asarray(fdata),
+        fdata=_to_host(fdata),   # striped: cross-process sharded
         metrics=(np.concatenate(all_metrics)
                  if all_metrics else np.zeros((0, 4), np.float32)),
         resumed_from=start,
@@ -273,9 +285,12 @@ def solve_checkpointed(
 
     # completed: remove the snapshot so a rerun starts fresh — but only
     # one this run wrote or fingerprint-validated (resume=False must
-    # not delete a stranger's file)
-    if own_checkpoint and os.path.exists(checkpoint_path):
+    # not delete a stranger's file); rank 0 owns the file
+    from jpeg2png_tpu.parallel.distributed import barrier, is_primary
+    if own_checkpoint and is_primary() and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
+    if own_checkpoint:
+        barrier("jpeg2png-ckpt-done")
 
     return CheckpointedResult(
         fdata=np.asarray(fdata),

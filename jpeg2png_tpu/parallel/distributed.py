@@ -54,11 +54,20 @@ def initialize(
         v = os.environ.get("JPEG2PNG_PROCESS_ID")
         process_id = int(v) if v else None
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        # idempotent: the CLI may be invoked from a program that
+        # already joined the runtime (e.g. tests driving cli.main
+        # after their own initialize()).  jax raises for both
+        # "already initialized" and "backend already touched" — a
+        # process_count > 1 proves the runtime is actually up
+        if jax.process_count() <= 1:
+            raise
     return jax.process_index(), jax.process_count()
 
 
@@ -66,6 +75,28 @@ def is_multi_process() -> bool:
     import jax
 
     return jax.process_count() > 1
+
+
+def is_primary() -> bool:
+    """Whether this process is the designated writer (rank 0).
+
+    In a multi-controller run every process executes the same program;
+    host-side side effects that must happen once — PNG files, CSV rows,
+    the progress bar, checkpoint snapshot files — are rank-0-only, the
+    analog of the reference's single writer (jpeg2png.c:162-165)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def gather_output(fdata):

@@ -104,6 +104,41 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
                 progress.increment(cfg.iterations[0])
             if metrics_stream:
                 metrics_stream(channel_id, 0, np.asarray(metrics))
+    elif stripes > 1:
+        # -s + --tpu-stripes: each channel is an independent C=1
+        # striped solve on the shared full-res canvas (the reference's
+        # per-channel compute() calls, jpeg2png.c:146-153, each sharded
+        # over the mesh) — previously this combination silently fell
+        # back to unstriped per-channel solves (VERDICT round-2 item 6)
+        from jpeg2png_tpu.parallel.distributed import gather_output
+        from jpeg2png_tpu.parallel.mesh import stripe_mesh
+        from jpeg2png_tpu.parallel.stripes import solve_striped
+
+        mesh = stripe_mesh(stripes)
+        channels = []
+        for c in range(C):
+            s = cfg.channel(c)
+            on_chunk = None
+            if live and s.iterations > 16:
+                def on_chunk(done, chunk_metrics, c=c):
+                    if progress:
+                        progress.increment(chunk_metrics.shape[0])
+                    if metrics_stream:
+                        metrics_stream(c, done - chunk_metrics.shape[0],
+                                       chunk_metrics)
+            fd, metrics = solve_striped(
+                [datas[c]], [quants[c]], [samps[c]], s.weight,
+                [s.pweight], s.iterations, mesh,
+                cfg.simd_compat_logging, on_chunk=on_chunk)
+            fd = gather_output(fd)
+            metrics = gather_output(metrics)
+            metrics_out[c] = np.asarray(metrics)
+            channels.append(fd[0])
+            if on_chunk is None:
+                if progress:
+                    progress.increment(s.iterations)
+                if metrics_stream:
+                    metrics_stream(c, 0, np.asarray(metrics))
     elif not cfg.separate_components or C == 1:
         channel_id = 3 if C > 1 else 0
         if live and cfg.iterations[0] > 16:
@@ -169,15 +204,25 @@ def decode_file(
     CSV rows stream DURING the solve (chunked execution) rather than
     after it, so `-c` on a long run behaves like the reference's
     in-loop logger (logger.c:20)."""
+    from jpeg2png_tpu.parallel.distributed import barrier, is_primary
+
     img = read_jpeg(infile)
+    primary = is_primary()
     stream = None
-    if logger is not None:
+    if logger is not None and primary:
         def stream(channel, start, metrics):
             logger.log_metrics(infile, channel, metrics,
                                start_iteration=start)
     result = smooth_decode(img, cfg, progress, bits, stripes,
                            metrics_stream=stream)
-    write_png(outfile, result.pixels, bits)
+    # multi-controller runs execute this on every process; only rank 0
+    # writes the file (the reference's single writer, jpeg2png.c:162-165
+    # — gather_output already landed the pixels on every host).  The
+    # barrier keeps non-writers from racing ahead (e.g. exiting and
+    # tearing down the coordinator before the write completes).
+    if primary:
+        write_png(outfile, result.pixels, bits)
+    barrier(f"write:{outfile}")
     return result
 
 

@@ -49,11 +49,14 @@ class BatchResult:
 
 
 def dp_degree(B: int, requested: Optional[int] = None) -> int:
-    """Data-parallel width for a B-image bucket: how many devices of
-    the default backend to spread the batch over (the reference's
-    "almost linear" OpenMP-over-files scaling, jpeg2png.c:330-337,
-    mapped onto the device mesh)."""
-    n = len(jax.devices())
+    """Data-parallel width for a B-image bucket: how many devices to
+    spread the batch over (the reference's "almost linear" OpenMP-over-
+    files scaling, jpeg2png.c:330-337, mapped onto the device mesh).
+
+    Counts LOCAL devices: batch DP needs no collectives, so in a
+    multi-controller run each process batches over its own chips and
+    files are partitioned across processes (decode_files_batched)."""
+    n = len(jax.local_devices())
     if requested is not None:
         n = min(n, requested)
     return max(1, min(n, B))
@@ -70,7 +73,7 @@ def _dp_wrap(body, n_dp: int):
 
     from jpeg2png_tpu.parallel.mesh import batch_mesh
 
-    mesh = batch_mesh(n_dp)
+    mesh = batch_mesh(n_dp, devices=jax.local_devices()[:n_dp])
     return jax.jit(shard_map(
         body, mesh=mesh, in_specs=P("batch"), out_specs=P("batch"),
         check_rep=False))
@@ -160,6 +163,15 @@ def decode_files_batched(
 
     from jpeg2png_tpu.kernels import iter_step
     from jpeg2png_tpu.models.solver import ChannelGeometry, canvas_shape
+
+    # multi-controller runs: partition the file list round-robin so
+    # each process solves (and writes) only its own shard — the pod-
+    # scale form of the reference's parallel-over-files loop
+    # (jpeg2png.c:330-337); without this every controller would
+    # redundantly solve everything
+    if jax.process_count() > 1:
+        pid, np_ = jax.process_index(), jax.process_count()
+        infiles = [f for i, f in enumerate(infiles) if i % np_ == pid]
 
     def read_one(f):
         if errors is None:

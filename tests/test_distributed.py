@@ -61,6 +61,39 @@ _WORKER = textwrap.dedent("""
                          use_pallas=False)
     assert np.abs(fd - np.asarray(fd1)).max() < 0.5
     print(f"proc {pid}: striped solve over 2 processes ok", flush=True)
+
+    # --- CLI e2e: exactly ONE process writes the PNG/CSV (VERDICT
+    # round-2 item 2; reference single writer jpeg2png.c:162-165) ---
+    from jpeg2png_tpu.parallel.distributed import barrier
+    from jpeg2png_tpu.cli import main
+    out_dir = os.environ["JPEG2PNG_TEST_TMP"]
+    src = os.path.join("tests", "fixtures", "photo600x400_q20_420.jpg")
+    shared_png = os.path.join(out_dir, "distributed_out.png")
+    # every rank passes its OWN csv path: only rank 0's may appear
+    csv_path = os.path.join(out_dir, f"rank{pid}.csv")
+    rc = main([src, "-o", shared_png, "-i", "2", "-q", "-c", csv_path,
+               "--tpu-stripes", "2", "--tpu-distributed"])
+    assert rc == 0, rc
+    barrier("cli-e2e-done")
+    assert os.path.exists(shared_png)
+    assert os.path.exists(os.path.join(out_dir, "rank0.csv"))
+    assert not os.path.exists(os.path.join(out_dir, "rank1.csv")), \
+        "rank 1 wrote a CSV"
+    print(f"proc {pid}: single-writer CLI e2e ok", flush=True)
+
+    # --- striped checkpoint save/resume across 2 processes ---
+    from jpeg2png_tpu.models.checkpoint import solve_striped_checkpointed
+    ckpt = os.path.join(out_dir, "striped2.ckpt")
+    res = solve_striped_checkpointed(
+        datas, quants, samps, 0.3, [0.001] * 3, 4, mesh,
+        checkpoint_path=ckpt, checkpoint_every=2, use_pallas=False)
+    assert not os.path.exists(ckpt)      # completed: cleaned up
+    fd4, m4 = solve_striped(datas, quants, samps, 0.3, [0.001] * 3, 4,
+                            mesh, use_pallas=False)
+    np.testing.assert_array_equal(res.fdata, gather_output(fd4))
+    np.testing.assert_array_equal(res.metrics, gather_output(m4))
+    print(f"proc {pid}: striped checkpoint over 2 processes ok",
+          flush=True)
 """)
 
 
@@ -84,6 +117,7 @@ def test_two_process_striped_solve(tmp_path):
             "JPEG2PNG_COORDINATOR": f"localhost:{port}",
             "JPEG2PNG_NUM_PROCESSES": "2",
             "JPEG2PNG_PROCESS_ID": str(i),
+            "JPEG2PNG_TEST_TMP": str(tmp_path),
             "PYTHONPATH": repo + os.pathsep + os.environ.get(
                 "PYTHONPATH", ""),
         })
@@ -94,7 +128,7 @@ def test_two_process_striped_solve(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=420)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

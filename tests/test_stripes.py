@@ -204,6 +204,32 @@ def test_cli_tpu_stripes_e2e(fixtures_dir, tmp_path):
     assert psnr > 55.0, psnr
 
 
+def test_cli_separate_stripes_e2e(fixtures_dir, tmp_path):
+    """`-s --tpu-stripes 4`: per-channel STRIPED solves (VERDICT
+    round-2 item 6 — this combination used to silently ignore
+    striping) match plain `-s` output."""
+    from jpeg2png_tpu.cli import main
+    from tests.pngdec import decode_png
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    src = str(fixtures_dir / "photo600x400_q20_420.jpg")
+    out_s = str(tmp_path / "sep_striped.png")
+    out_1 = str(tmp_path / "sep.png")
+    assert main([src, "-o", out_s, "-i", "3", "-q", "-s",
+                 "--tpu-stripes", "4"]) == 0
+    assert main([src, "-o", out_1, "-i", "3", "-q", "-s"]) == 0
+    a = np.asarray(decode_png(open(out_s, "rb").read()), np.float64)
+    b = np.asarray(decode_png(open(out_1, "rb").read()), np.float64)
+    assert a.shape == b.shape == (400, 600, 3)
+    mse = ((a - b) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    # 45 dB, the project-wide FP-divergence gate: -s chroma solves are
+    # TV-only (weight 0) and flat-region subgradient chaos bites sooner
+    # than in the joint test above (measured ~52 dB at 3 iterations)
+    assert psnr > 45.0, psnr
+
+
 def test_collective_count_pallas_body(interpret_pallas):
     """Same scaling guard for the fused Pallas striped body: per
     iteration exactly 2 batched halo ppermutes + 1 fused vector
