@@ -119,6 +119,41 @@ def main():
         except Exception:   # noqa: BLE001 - secondary metric only
             out["mp_iter_per_s_6mp"] = None
 
+        # striped-path row (n=1 mesh on the single chip): the per-chip
+        # rate of the fused striped body — the multi-chip scaling
+        # path's per-chip throughput, captured mechanically so a
+        # stripe_grad regression moves a recorded number (VERDICT
+        # round-2 item 3)
+        try:
+            import jax
+
+            from jpeg2png_tpu.parallel.mesh import stripe_mesh
+            from jpeg2png_tpu.parallel.stripes import solve_striped
+
+            mesh1 = stripe_mesh(1)
+            use_pallas = jax.default_backend() == "tpu"
+
+            def timed_s(iters, reps=3):
+                best = float("inf")
+                fd, m = solve_striped(datas6, quants6, samps, 0.3,
+                                      [0.001] * 3, iters, mesh1,
+                                      use_pallas=use_pallas)
+                np.asarray(m[-1])
+                for _ in range(reps):
+                    t0 = time.time()
+                    fd, m = solve_striped(datas6, quants6, samps, 0.3,
+                                          [0.001] * 3, iters, mesh1,
+                                          use_pallas=use_pallas)
+                    np.asarray(m[-1])
+                    best = min(best, time.time() - t0)
+                return best
+
+            ta, tb = timed_s(30), timed_s(130)
+            out["mp_iter_per_s_striped_6mp"] = round(
+                mp6 * 100 / max(tb - ta, 1e-9), 1)
+        except Exception:   # noqa: BLE001 - secondary metric only
+            out["mp_iter_per_s_striped_6mp"] = None
+
     print(json.dumps(out))
 
 

@@ -66,71 +66,17 @@ def _dot3(xh, xl, yh, yl, dims):
     return out
 
 
-def _kernel(
-    scale_ref,             # scalar-prefetch (2,): [step scale, p_alpha*ss]
-    extrap_hbm, grad_hbm,  # ANY [H, W]
-    ah_hbm, al_hbm,        # ANY [RCc, RC] bf16 (row-transform tile, hi/lo)
-    bh_hbm, bl_hbm,        # ANY [TC, TCs] bf16 (col-transform tile, hi/lo)
-    lo_hbm, hi_hbm,        # ANY [hc, wc]
-    dq_hbm, iq_hbm,        # ANY [hc, wc]  (absent when prob disabled)
-    fnew_hbm,              # out ANY [H, W]
-    pgrad_hbm,             # out ANY [H, W]   (when prob enabled)
-    dist_hbm,              # out ANY (8, 128) (when prob enabled)
-    e_t, g_t,              # VMEM scratch [SH, W]
-    ah_t, al_t,            # VMEM scratch [RCc, RC] bf16
-    bh_t, bl_t,            # VMEM scratch [TC, TCs] bf16
-    lo_t, hi_t, dq_t, iq_t,  # VMEM scratch [SR, WC]
-    out_t, pg_t,           # VMEM scratch [SH, W]
-    cf_t,                  # VMEM scratch [RCc, WC]  (coefs, per chunk)
-    dc_t,                  # VMEM scratch [RCc, W]   (col back-expansion)
-    dist_t,                # VMEM scratch (8, 128)
-    acc,                   # SMEM scratch (8,)
-    sem,                   # DMA semaphores (8,)
-    *,
-    H, W, SH, SR, WC, sy, sx, RC, TC, with_prob, nstripes,
-):
+def _stripe_math(scale, e_t, g_t, lo_t, hi_t, dq_t, iq_t,
+                 out_t, pg_t, cf_t, dc_t, ah, al, bh, bl,
+                 acc, dist_slot, pa_ss_scale, *,
+                 SH, W, WC, sy, sx, RC, TC, with_prob):
+    """One channel's stripe: normalized step + box projection (+ prob
+    gradient) on the staged VMEM tiles.  Shared by the single- and
+    multi-channel kernels; `acc[dist_slot]` accumulates the channel's
+    prob distance across stripes."""
     RCc = RC // sy   # coef rows per chunk
     TCs = TC * sx    # pixel columns per coef-column tile
     ss = float(sy * sx)
-    i = pl.program_id(0)
-    r0 = pl.multiple_of(i * SH, 8)
-    cr0 = pl.multiple_of(i * SR, 8)   # coef-space row offset
-
-    # constants: stage once, persist in scratch across the (sequential)
-    # grid; re-DMA'd only on the first stripe
-    @pl.when(i == 0)
-    def _():
-        cps = []
-        for src, dst, si in ((ah_hbm, ah_t, 4), (al_hbm, al_t, 5),
-                             (bh_hbm, bh_t, 6), (bl_hbm, bl_t, 7)):
-            cp = pltpu.make_async_copy(src, dst, sem.at[si])
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
-        for j in range(8):
-            acc[j] = jnp.float32(0.0)
-
-    cps = []
-    for src, dst, si in ((extrap_hbm, e_t, 0), (grad_hbm, g_t, 1)):
-        cp = pltpu.make_async_copy(src.at[pl.ds(r0, SH), :], dst, sem.at[si])
-        cp.start()
-        cps.append(cp)
-    for src, dst, si in ((lo_hbm, lo_t, 2), (hi_hbm, hi_t, 3),
-                         (dq_hbm, dq_t, 6), (iq_hbm, iq_t, 7)):
-        if src is None:
-            continue
-        cp = pltpu.make_async_copy(src.at[pl.ds(cr0, SR), :], dst, sem.at[si])
-        cp.start()
-        cps.append(cp)
-    for cp in cps:
-        cp.wait()
-
-    scale = scale_ref[0]
-    ah = ah_t[:, :]
-    al = al_t[:, :]
-    bh = bh_t[:, :]
-    bl = bl_t[:, :]
 
     def col_fwd(xh, xl):
         """x [RCc, W] (split) @ P_c^T -> [RCc, WC] via cf_t tiles."""
@@ -171,11 +117,77 @@ def _kernel(
 
         if with_prob:
             devp = (clamped - dq_t[c0:c0 + RCc, :]) * iq_t[c0:c0 + RCc, :]
-            acc[0] = acc[0] + 0.5 * jnp.sum(devp * devp)
+            acc[dist_slot] = acc[dist_slot] + 0.5 * jnp.sum(devp * devp)
             dd = col_bwd(devp * iq_t[c0:c0 + RCc, :])
             ddh, ddl = _split(dd)
             pgb = _dot3(ah, al, ddh, ddl, ((0,), (0,)))
-            pg_t[p0:p0 + RC, :] = scale_ref[1] * pgb
+            pg_t[p0:p0 + RC, :] = pa_ss_scale * pgb
+
+
+def _kernel(
+    scale_ref,             # scalar-prefetch (2,): [step scale, p_alpha*ss]
+    extrap_hbm, grad_hbm,  # ANY [H, W]
+    ah_hbm, al_hbm,        # ANY [RCc, RC] bf16 (row-transform tile, hi/lo)
+    bh_hbm, bl_hbm,        # ANY [TC, TCs] bf16 (col-transform tile, hi/lo)
+    lo_hbm, hi_hbm,        # ANY [hc, wc]
+    dq_hbm, iq_hbm,        # ANY [hc, wc]  (absent when prob disabled)
+    fnew_hbm,              # out ANY [H, W]
+    pgrad_hbm,             # out ANY [H, W]   (when prob enabled)
+    dist_hbm,              # out ANY (8, 128) (when prob enabled)
+    e_t, g_t,              # VMEM scratch [SH, W]
+    ah_t, al_t,            # VMEM scratch [RCc, RC] bf16
+    bh_t, bl_t,            # VMEM scratch [TC, TCs] bf16
+    lo_t, hi_t, dq_t, iq_t,  # VMEM scratch [SR, WC]
+    out_t, pg_t,           # VMEM scratch [SH, W]
+    cf_t,                  # VMEM scratch [RCc, WC]  (coefs, per chunk)
+    dc_t,                  # VMEM scratch [RCc, W]   (col back-expansion)
+    dist_t,                # VMEM scratch (8, 128)
+    acc,                   # SMEM scratch (8,)
+    sem,                   # DMA semaphores (8,)
+    *,
+    H, W, SH, SR, WC, sy, sx, RC, TC, with_prob, nstripes,
+):
+    i = pl.program_id(0)
+    r0 = pl.multiple_of(i * SH, 8)
+    cr0 = pl.multiple_of(i * SR, 8)   # coef-space row offset
+
+    # constants: stage once, persist in scratch across the (sequential)
+    # grid; re-DMA'd only on the first stripe
+    @pl.when(i == 0)
+    def _():
+        cps = []
+        for src, dst, si in ((ah_hbm, ah_t, 4), (al_hbm, al_t, 5),
+                             (bh_hbm, bh_t, 6), (bl_hbm, bl_t, 7)):
+            cp = pltpu.make_async_copy(src, dst, sem.at[si])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+        for j in range(8):
+            acc[j] = jnp.float32(0.0)
+
+    cps = []
+    for src, dst, si in ((extrap_hbm, e_t, 0), (grad_hbm, g_t, 1)):
+        cp = pltpu.make_async_copy(src.at[pl.ds(r0, SH), :], dst, sem.at[si])
+        cp.start()
+        cps.append(cp)
+    for src, dst, si in ((lo_hbm, lo_t, 2), (hi_hbm, hi_t, 3),
+                         (dq_hbm, dq_t, 6), (iq_hbm, iq_t, 7)):
+        if src is None:
+            continue
+        cp = pltpu.make_async_copy(src.at[pl.ds(cr0, SR), :], dst, sem.at[si])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    _stripe_math(
+        scale_ref[0], e_t, g_t, lo_t, hi_t, dq_t, iq_t,
+        out_t, pg_t, cf_t, dc_t,
+        ah_t[:, :], al_t[:, :], bh_t[:, :], bl_t[:, :],
+        acc, 0, scale_ref[1],
+        SH=SH, W=W, WC=WC, sy=sy, sx=sx, RC=RC, TC=TC,
+        with_prob=with_prob)
 
     cpo = pltpu.make_async_copy(out_t, fnew_hbm.at[pl.ds(r0, SH), :],
                                 sem.at[0])
@@ -350,3 +362,271 @@ def _kernel_adapter(scale_ref, e, g, ah, al_, bh, bl_, l, h, fnew,
            fnew, None, None,
            e_t, g_t, ah_t, al_t, bh_t, bl_t, lo_t, hi_t, dq_t, iq_t,
            out_t, pg_t, cf_t, dc_t, dist_t, acc, sem)
+
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel variant: ALL channels' normalized-step + projection + prob
+# gradient in ONE pallas_call.  The two-kernel tier and the striped path
+# are launch-bound (1 + C dispatches per iteration); merging the C
+# projection dispatches makes every iteration exactly 2 launches.
+# Reference: compute.c:445-448 — the per-channel projection loop, here a
+# static channel loop inside one kernel.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_multi(scales_ref, *refs, H, W, SH, samps, prob_mask,
+                  nstripes):
+    """refs layout (C channels, P = sum(prob_mask) prob channels):
+    in, per channel: e, g, ah, al, bh, bl, lo, hi, [dq, iq]
+    out: C x fnew, P x pgrad, dist (8,128) when P > 0
+    scratch, per channel: e_t, g_t, ah_t, al_t, bh_t, bl_t, lo_t, hi_t,
+        [dq_t, iq_t], out_t, [pg_t], cf_t, dc_t
+    then dist_t (8,128) when P, acc SMEM (8,), sem DMA (8,).
+
+    scales_ref: (2C,) scalar prefetch — [scale_c ...] + [pa_ss_c ...].
+    acc slot pi accumulates prob channel pi's distance partial.
+    """
+    C = len(samps)
+    n_prob = sum(prob_mask)
+    it = iter(refs)
+    ins = [[next(it) for _ in range(10 if prob_mask[c] else 8)]
+           for c in range(C)]
+    fnew_hbms = [next(it) for _ in range(C)]
+    pgrad_hbms = [next(it) for _ in range(n_prob)]
+    dist_hbm = next(it) if n_prob else None
+    scr = [[next(it) for _ in range(14 if prob_mask[c] else 11)]
+           for c in range(C)]
+    dist_t = next(it) if n_prob else None
+    acc = next(it)
+    sem = next(it)
+
+    i = pl.program_id(0)
+    r0 = pl.multiple_of(i * SH, 8)
+
+    @pl.when(i == 0)
+    def _():
+        # stage the (tiny) transform constants once; they persist in
+        # scratch across the sequential grid
+        cps = []
+        for c in range(C):
+            for j in range(2, 6):     # ah, al, bh, bl
+                cp = pltpu.make_async_copy(ins[c][j], scr[c][j],
+                                           sem.at[6])
+                cp.start()
+                cps.append(cp)
+        for cp in cps:
+            cp.wait()
+        for j in range(8):
+            acc[j] = jnp.float32(0.0)
+
+    # start ALL channels' stripe DMAs, then wait all (start-all-wait-all
+    # — manual prefetch/double-buffering has never won in this Mosaic
+    # version; see CLAUDE.md failed experiments)
+    cps = []
+    for c in range(C):
+        sy, _ = samps[c]
+        SR = SH // sy
+        cr0 = pl.multiple_of(i * SR, 8)
+        for j, si in ((0, 0), (1, 1)):               # e, g pixel stripes
+            cp = pltpu.make_async_copy(
+                ins[c][j].at[pl.ds(r0, SH), :], scr[c][j], sem.at[si])
+            cp.start()
+            cps.append(cp)
+        n_cf = 4 if prob_mask[c] else 2              # lo, hi, [dq, iq]
+        for j in range(n_cf):
+            cp = pltpu.make_async_copy(
+                ins[c][6 + j].at[pl.ds(cr0, SR), :], scr[c][6 + j],
+                sem.at[2 + j])
+            cp.start()
+            cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    pi = 0
+    out_cps = []
+    for c in range(C):
+        sy, sx = samps[c]
+        WC = W // sx
+        RC, TC = _chunks(H, W, SH, sy, sx)
+        with_prob = bool(prob_mask[c])
+        if with_prob:
+            dq_t, iq_t = scr[c][8], scr[c][9]
+            out_t, pg_t = scr[c][10], scr[c][11]
+            cf_t, dc_t = scr[c][12], scr[c][13]
+        else:
+            dq_t = iq_t = pg_t = None
+            out_t, cf_t, dc_t = scr[c][8], scr[c][9], scr[c][10]
+
+        _stripe_math(
+            scales_ref[c], scr[c][0], scr[c][1], scr[c][6], scr[c][7],
+            dq_t, iq_t, out_t, pg_t, cf_t, dc_t,
+            scr[c][2][:, :], scr[c][3][:, :],
+            scr[c][4][:, :], scr[c][5][:, :],
+            acc, pi, scales_ref[C + c],
+            SH=SH, W=W, WC=WC, sy=sy, sx=sx, RC=RC, TC=TC,
+            with_prob=with_prob)
+
+        cpo = pltpu.make_async_copy(
+            out_t, fnew_hbms[c].at[pl.ds(r0, SH), :], sem.at[0])
+        cpo.start()
+        out_cps.append(cpo)
+        if with_prob:
+            cpg = pltpu.make_async_copy(
+                pg_t, pgrad_hbms[pi].at[pl.ds(r0, SH), :], sem.at[1])
+            cpg.start()
+            out_cps.append(cpg)
+            pi += 1
+
+    if n_prob:
+        @pl.when(i == nstripes - 1)
+        def _():
+            vals = jnp.stack([acc[j] for j in range(8)])
+            dist_t[:, :] = jnp.broadcast_to(vals[:, None], (8, 128))
+            cpd = pltpu.make_async_copy(dist_t, dist_hbm, sem.at[2])
+            cpd.start()
+            cpd.wait()
+
+    for cp in out_cps:
+        cp.wait()
+
+
+def _pick_stripe_multi(h: int, w: int, samps) -> int:
+    """Largest SH dividing h, multiple of 8*lcm(sy), with every
+    channel's scratch resident at once."""
+    import math as _math
+
+    budget = 40 * 1024 * 1024
+    unit = 8
+    for sy, _ in samps:
+        unit = _math.lcm(unit, 8 * sy)
+    C = len(samps)
+    for sh in (256, 128, 64, 32, 16, 8):
+        if sh % unit or h % sh:
+            continue
+        if C * 5 * sh * w * 4 <= budget:
+            return sh
+    return 0
+
+
+def supports_multi(H: int, W: int, samps) -> bool:
+    """Geometry gate for the one-call multi-channel projection."""
+    if any(not supports(H, W, sy, sx) for sy, sx in samps):
+        return False
+    return _pick_stripe_multi(H, W, samps) != 0
+
+
+def fused_project_multi(extraps, grads, scales, los, his, dqs, iqs,
+                        pa_sss, samps):
+    """All channels' normalized-step + projection (+ prob) in one call.
+
+    Args:
+        extraps, grads: per-channel [H, W] f32 lists (shared canvas).
+        scales: [C] traced step_size/norm vector.
+        los, his: per-channel rasterized clamp bounds [H/sy, W/sx].
+        dqs, iqs: per-channel data*quant and 1/quant rasters, None for
+            channels with the prob term off.
+        pa_sss: per-channel static p_alpha * sy * sx (0 = prob off).
+        samps: per-channel (sy, sx).
+    Returns:
+        (fnews list, pgrads list with None for prob-off channels,
+         dists [C] — per-channel prob distances, 0.0 where off).
+    """
+    C = len(extraps)
+    H, W = extraps[0].shape
+    prob_mask = tuple(p != 0.0 for p in pa_sss)
+    n_prob = sum(prob_mask)
+    SH = _pick_stripe_multi(H, W, samps)
+    assert SH, (H, W, samps)
+    nstripes = H // SH
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    operands = []
+    n_in = 0
+    scratch = []
+    for c, (sy, sx) in enumerate(samps):
+        SR = SH // sy
+        WC = W // sx
+        RC, TC = _chunks(H, W, SH, sy, sx)
+        RCc = RC // sy
+        TCs = TC * sx
+        ah, al_, bh, bl_ = _ab_tiles(RC, sy, TC, sx)
+        operands += [extraps[c], grads[c],
+                     jnp.asarray(ah), jnp.asarray(al_),
+                     jnp.asarray(bh), jnp.asarray(bl_),
+                     los[c], his[c]]
+        scratch += [
+            pltpu.VMEM((SH, W), _F32),           # e_t
+            pltpu.VMEM((SH, W), _F32),           # g_t
+            pltpu.VMEM((RCc, RC), _BF16),        # ah_t
+            pltpu.VMEM((RCc, RC), _BF16),        # al_t
+            pltpu.VMEM((TC, TCs), _BF16),        # bh_t
+            pltpu.VMEM((TC, TCs), _BF16),        # bl_t
+            pltpu.VMEM((SR, WC), _F32),          # lo_t
+            pltpu.VMEM((SR, WC), _F32),          # hi_t
+        ]
+        if prob_mask[c]:
+            operands += [dqs[c], iqs[c]]
+            scratch += [
+                pltpu.VMEM((SR, WC), _F32),      # dq_t
+                pltpu.VMEM((SR, WC), _F32),      # iq_t
+            ]
+        scratch += [pltpu.VMEM((SH, W), _F32)]   # out_t
+        if prob_mask[c]:
+            scratch += [pltpu.VMEM((SH, W), _F32)]   # pg_t
+        scratch += [
+            pltpu.VMEM((RCc, WC), _F32),         # cf_t
+            pltpu.VMEM((RCc, W), _F32),          # dc_t
+        ]
+        n_in += 10 if prob_mask[c] else 8
+    if n_prob:
+        scratch += [pltpu.VMEM((8, 128), _F32)]  # dist_t
+    scratch += [
+        pltpu.SMEM((8,), _F32),
+        pltpu.SemaphoreType.DMA((8,)),
+    ]
+
+    n_out = C + n_prob + (1 if n_prob else 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nstripes,),
+        in_specs=[any_spec] * n_in,
+        out_specs=[any_spec] * n_out,
+        scratch_shapes=scratch,
+    )
+
+    hw = jax.ShapeDtypeStruct((H, W), _F32)
+    out_shape = [hw] * (C + n_prob)
+    if n_prob:
+        out_shape += [jax.ShapeDtypeStruct((8, 128), _F32)]
+
+    scalars = jnp.concatenate([
+        jnp.asarray(scales, _F32).reshape(-1),
+        jnp.asarray(list(pa_sss), _F32),
+    ])
+
+    kernel = functools.partial(
+        _kernel_multi, H=H, W=W, SH=SH, samps=tuple(samps),
+        prob_mask=prob_mask, nstripes=nstripes)
+
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(scalars, *operands)
+
+    fnews = list(outs[:C])
+    pgrads_flat = list(outs[C:C + n_prob])
+    dists = []
+    pgrads = []
+    pi = 0
+    for c in range(C):
+        if prob_mask[c]:
+            pgrads.append(pgrads_flat[pi])
+            # dist_t row j broadcasts acc slot j across the lanes
+            dists.append(outs[-1][pi, 0])
+            pi += 1
+        else:
+            pgrads.append(None)
+            dists.append(jnp.float32(0.0))
+    return fnews, pgrads, dists

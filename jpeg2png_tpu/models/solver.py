@@ -381,6 +381,15 @@ def _build_solver_impl(
             from jpeg2png_tpu.kernels import project_step
             from jpeg2png_tpu.kernels.grad_step import fused_grad
 
+            samp_list = [(g.h_samp, g.w_samp) for g in geoms]
+            # one multi-channel projection dispatch when every channel
+            # projects on the full padded canvas: 1 + C launches per
+            # iteration become 2 (the launch count is this tier's
+            # throughput knob at 3-6 MP)
+            use_multi = (
+                assume_full
+                and project_step.supports_multi(H, W2, samp_list))
+
             def body(carry, _):
                 fdatas, fistas, pgrads, prob_dist, t = carry
                 tnext, factor = fista_factor(t)
@@ -402,30 +411,51 @@ def _build_solver_impl(
                 new_fdatas = []
                 new_pgrads = []
                 prob_dist_next = jnp.float32(0.0)
-                for c, g in enumerate(geoms):
-                    full_canvas = assume_full or (
-                        g.region_h == H and g.region_w == W2)
-                    if full_canvas and project_step.supports(
-                            H, W2, g.h_samp, g.w_samp):
-                        with_prob = p_alphas[c] != 0.0
-                        fnew, pgrad, dist = project_step.fused_project(
-                            extraps[c], grads[c], scale[c],
-                            los2[c], his2[c],
-                            dqs2[c] if with_prob else None,
-                            iqs2[c] if with_prob else None,
-                            (p_alphas[c] * g.h_samp * g.w_samp
-                             if with_prob else 0.0),
-                            g.h_samp, g.w_samp)
-                        if with_prob and not simd_compat_logging:
-                            dist = p_alphas[c] * dist
-                    else:
-                        fmid = extraps[c] - grads[c] * scale[c]
-                        fnew, pgrad, dist = project_prob_channel(
-                            c, g, fmid)
-                    new_fdatas.append(fnew)
-                    if pgrad is not None:
-                        new_pgrads.append(pgrad)
-                    prob_dist_next = prob_dist_next + dist
+                if use_multi:
+                    pa_ss = [
+                        p_alphas[c] * g.h_samp * g.w_samp
+                        for c, g in enumerate(geoms)]
+                    new_fdatas, pgs, dists = (
+                        project_step.fused_project_multi(
+                            extraps, grads, scale, los2, his2,
+                            [dqs2[c] if pa_ss[c] != 0.0 else None
+                             for c in range(len(geoms))],
+                            [iqs2[c] if pa_ss[c] != 0.0 else None
+                             for c in range(len(geoms))],
+                            pa_ss, samp_list))
+                    for c in range(len(geoms)):
+                        d = dists[c]
+                        if pa_ss[c] != 0.0 and not simd_compat_logging:
+                            d = p_alphas[c] * d
+                        prob_dist_next = prob_dist_next + d
+                        if pgs[c] is not None:
+                            new_pgrads.append(pgs[c])
+                else:
+                    for c, g in enumerate(geoms):
+                        full_canvas = assume_full or (
+                            g.region_h == H and g.region_w == W2)
+                        if full_canvas and project_step.supports(
+                                H, W2, g.h_samp, g.w_samp):
+                            with_prob = p_alphas[c] != 0.0
+                            fnew, pgrad, dist = (
+                                project_step.fused_project(
+                                    extraps[c], grads[c], scale[c],
+                                    los2[c], his2[c],
+                                    dqs2[c] if with_prob else None,
+                                    iqs2[c] if with_prob else None,
+                                    (p_alphas[c] * g.h_samp * g.w_samp
+                                     if with_prob else 0.0),
+                                    g.h_samp, g.w_samp))
+                            if with_prob and not simd_compat_logging:
+                                dist = p_alphas[c] * dist
+                        else:
+                            fmid = extraps[c] - grads[c] * scale[c]
+                            fnew, pgrad, dist = project_prob_channel(
+                                c, g, fmid)
+                        new_fdatas.append(fnew)
+                        if pgrad is not None:
+                            new_pgrads.append(pgrad)
+                        prob_dist_next = prob_dist_next + dist
 
                 objective = ((tv + tv2 + prob_dist)
                              / jnp.float32(total_alpha))

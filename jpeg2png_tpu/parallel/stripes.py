@@ -256,25 +256,53 @@ def _build_striped(
 
             new_f, new_pg = [], []
             dist_local = jnp.float32(0.0)
-            for c, g in enumerate(geoms):
-                if use_pallas:
-                    from jpeg2png_tpu.kernels import project_step
-                    fn, pg, d = project_step.fused_project(
-                        extraps[c], grads[c], scale[c], los[c], his[c],
-                        dqs[c] if prob_on[c] else None,
-                        iqs[c] if prob_on[c] else None,
-                        (p_alphas[c] * g.h_samp * g.w_samp
-                         if prob_on[c] else 0.0),
-                        g.h_samp, g.w_samp)
-                    if prob_on[c] and not simd_compat_logging:
-                        d = p_alphas[c] * d
+            if use_pallas:
+                from jpeg2png_tpu.kernels import project_step
+
+                samp_list = [(g.h_samp, g.w_samp) for g in geoms]
+                pa_ss = [p_alphas[c] * g.h_samp * g.w_samp
+                         if prob_on[c] else 0.0
+                         for c, g in enumerate(geoms)]
+                if project_step.supports_multi(L, W2, samp_list):
+                    # all C channels' projections in ONE dispatch
+                    new_f, pgs, dists = (
+                        project_step.fused_project_multi(
+                            list(extraps), list(grads), scale,
+                            list(los), list(his),
+                            [dqs[c] if prob_on[c] else None
+                             for c in range(nchannel)],
+                            [iqs[c] if prob_on[c] else None
+                             for c in range(nchannel)],
+                            pa_ss, samp_list))
+                    for c in range(nchannel):
+                        d = dists[c]
+                        if prob_on[c] and not simd_compat_logging:
+                            d = p_alphas[c] * d
+                        dist_local = dist_local + d
+                        if pgs[c] is not None:
+                            new_pg.append(pgs[c])
                 else:
+                    for c, g in enumerate(geoms):
+                        fn, pg, d = project_step.fused_project(
+                            extraps[c], grads[c], scale[c],
+                            los[c], his[c],
+                            dqs[c] if prob_on[c] else None,
+                            iqs[c] if prob_on[c] else None,
+                            pa_ss[c], g.h_samp, g.w_samp)
+                        if prob_on[c] and not simd_compat_logging:
+                            d = p_alphas[c] * d
+                        new_f.append(fn)
+                        if pg is not None:
+                            new_pg.append(pg)
+                        dist_local = dist_local + d
+            else:
+                for c, g in enumerate(geoms):
                     fmid = extraps[c] - grads[c] * scale[c]
                     fn, pg, d = project_prob(c, g, fmid)
-                new_f.append(fn)
-                if pg is not None:
-                    new_pg.append(pg)
-                dist_local = dist_local + d
+                    new_f.append(fn)
+                    if pg is not None:
+                        new_pg.append(pg)
+                    dist_local = dist_local + d
 
             objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
             metrics = jnp.stack([objective, prob_dist, tv, tv2])

@@ -69,6 +69,36 @@ TIERS = [
 ]
 
 
+def striped_rate(nby, nbx, n1, n2, reps=3):
+    """Per-chip rate of the fused striped body on an n=1 mesh."""
+    import jax
+
+    from jpeg2png_tpu.parallel.mesh import stripe_mesh
+    from jpeg2png_tpu.parallel.stripes import solve_striped
+
+    datas, quants, samps = synth(nby, nbx)
+    mp = nby * 8 * nbx * 8 / 1e6
+    mesh = stripe_mesh(1)
+    use_pallas = jax.default_backend() == "tpu"
+
+    def timed(iters):
+        best = float("inf")
+        fd, m = solve_striped(datas, quants, samps, 0.3, [0.001] * 3,
+                              iters, mesh, use_pallas=use_pallas)
+        np.asarray(m[-1])
+        for _ in range(reps):
+            t0 = time.time()
+            fd, m = solve_striped(datas, quants, samps, 0.3,
+                                  [0.001] * 3, iters, mesh,
+                                  use_pallas=use_pallas)
+            np.asarray(m[-1])
+            best = min(best, time.time() - t0)
+        return best
+
+    t1, t2 = timed(n1), timed(n2)
+    return mp, mp * (n2 - n1) / max(t2 - t1, 1e-9)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -81,6 +111,13 @@ def main():
         out[name] = round(rate, 1)
         print(json.dumps({"tier": name, "mp_iter_per_s": round(rate, 1)}),
               flush=True)
+    # striped-path row: 6.29MP band on one chip (the multi-chip path's
+    # per-chip rate; VERDICT round-2 item 3)
+    n1, n2 = (10, 40) if args.quick else (30, 130)
+    mp, rate = striped_rate(256, 384, n1, n2)
+    out["6.29MP striped n=1"] = round(rate, 1)
+    print(json.dumps({"tier": "6.29MP striped n=1",
+                      "mp_iter_per_s": round(rate, 1)}), flush=True)
     print(json.dumps({"tiers": out}))
 
 
