@@ -38,3 +38,22 @@ def batch_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), ("batch",))
 
 
+def batch_stripe_mesh(n_batch: int, n_stripes: int,
+                      devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ("batch", "y") mesh: n_batch independent images, each
+    striped over n_stripes devices — the pod topology for serving many
+    giant files at once (SURVEY.md §5).  Consecutive devices form each
+    image's stripe group so the per-iteration "y" halo/psum collectives
+    ride the closest ICI links; the batch axis carries no collectives
+    at all."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_batch * n_stripes
+    if len(devices) < need:
+        raise ValueError(
+            f"need {need} devices for a {n_batch}x{n_stripes} mesh, "
+            f"have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_batch, n_stripes)
+    return Mesh(arr, ("batch", "y"))
+
+

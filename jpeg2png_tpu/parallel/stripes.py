@@ -162,13 +162,21 @@ def _build_striped(
     mesh: Mesh,
     use_pallas: bool,
     nsteps: int | None = None,
+    batch: bool = False,
 ):
     """Jitted resumable striped solver: solve(datas, quants, carry) ->
     (fdata cropped, metrics [nsteps, 4], carry_out).  carry=None starts
     fresh; `iterations` is the TOTAL planned count (fixes the step
     size, compute.c:443) while `nsteps` is this chunk's length — so
     long striped runs stream progress/CSV in chunks exactly like the
-    single-chip path (models/solver.solve_joint_chunked)."""
+    single-chip path (models/solver.solve_joint_chunked).
+
+    batch=True serves a 2-D ("batch", "y") mesh: B same-geometry images
+    each striped over the "y" sub-axis while the batch spreads over
+    "batch" (SURVEY.md §5's pod topology for many files x giant files).
+    datas/quants then carry a leading [B] dim and exactly one image
+    lives per batch shard; the per-image body is unchanged — its "y"
+    collectives stay within each image's stripe group."""
     if nsteps is None:
         nsteps = iterations
     nchannel = len(geoms)
@@ -402,14 +410,57 @@ def _build_striped(
                 + ([band] if n_prob else []) + [P("y"), P()])
     out_specs = ([band, P(), band] + ([band] if n_prob else [])
                  + [P("y"), P()])
+
+    body = shard_body
+    if batch:
+        # 2-D mesh: every spec (except the replicated scalar t) gains a
+        # leading "batch" dim; each batch shard holds exactly ONE image
+        # (local leading extent 1), so the per-image body runs
+        # unchanged on the squeezed shard and the result re-gains the
+        # leading axis.  The "y" collectives stay per-image: shard_map
+        # collectives over one axis never cross the other.
+        def _prepend(spec):
+            return P("batch", *spec)
+
+        in_specs = [_prepend(s) for s in in_specs[:-1]] + [P()]
+        out_specs = [_prepend(s) for s in out_specs[:-1]] + [P()]
+
+        def body(*args):  # noqa: F811 - deliberate wrap
+            outs = shard_body(*[a[0] for a in args[:-1]], args[-1])
+            return tuple(o[None] for o in outs[:-1]) + (outs[-1],)
+
     sharded = shard_map(
-        shard_body, mesh=mesh,
+        body, mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=tuple(out_specs),
         check_rep=False,
     )
 
     def solve(datas, quants, carry=None):
+        if batch:
+            # datas/quants: [B][C]; stack per-channel consts over B
+            per = [_padded_consts(d, q, geoms, H, W, H2, W2)
+                   for d, q in zip(datas, quants)]
+            B = len(per)
+            dqs = [jnp.stack([p[0][c] for p in per])
+                   for c in range(nchannel)]
+            los = [jnp.stack([p[1][c] for p in per])
+                   for c in range(nchannel)]
+            his = [jnp.stack([p[2][c] for p in per])
+                   for c in range(nchannel)]
+            iqs = [jnp.stack([p[3][c] for p in per])
+                   for c in range(nchannel)]
+            f0 = jnp.stack([p[4] for p in per])
+            if carry is None:
+                pgz = ([jnp.zeros((B, n_prob, H2, W2), jnp.float32)]
+                       if n_prob else [])
+                carry = (f0, f0, *pgz,
+                         jnp.zeros((B, n), jnp.float32),
+                         jnp.float32(1.0))
+            outs = sharded(*dqs, *los, *his, *iqs, *carry)
+            fdata, metrics = outs[0], outs[1]
+            carry_out = (fdata,) + tuple(outs[2:])
+            return fdata[:, :, :H, :W], metrics, carry_out
         dqs, los, his, iqs, f0 = _padded_consts(
             datas, quants, geoms, H, W, H2, W2)
         if carry is None:
@@ -423,6 +474,48 @@ def _build_striped(
         return fdata[:, :H, :W], metrics, carry_out
 
     return jax.jit(solve)
+
+
+def solve_striped_batched(
+    datas: Sequence[Sequence[np.ndarray]],   # [B][C]
+    quants: Sequence[Sequence[np.ndarray]],  # [B][C]
+    samps: Sequence[Tuple[int, int]],
+    weight: float,
+    pweights: Sequence[float],
+    iterations: int,
+    mesh: Mesh,
+    simd_compat_logging: bool = True,
+    use_pallas: Optional[bool] = None,
+):
+    """B same-geometry images, each striped over the mesh's "y" axis,
+    batched over its "batch" axis — the 2-D pod topology for serving
+    many giant files at once (SURVEY.md §5).  Requires
+    mesh.shape["batch"] == B (one image per batch shard).
+
+    Returns (fdata [B, C, H, W], metrics [B, iterations, 4])."""
+    geoms = tuple(
+        ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+        for d, (sy, sx) in zip(datas[0], samps)
+    )
+    n = mesh.shape["y"]
+    nb = mesh.shape["batch"]
+    if len(datas) != nb:
+        raise ValueError(
+            f"batch size {len(datas)} != mesh batch axis {nb}")
+    if not stripes_supported(geoms, n):
+        raise ValueError(
+            f"geometry {geoms} cannot be striped over {n} devices")
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and pallas_striped_supported(geoms, n))
+    solver = _build_striped(
+        geoms, float(weight), tuple(float(p) for p in pweights),
+        int(iterations), bool(simd_compat_logging), mesh,
+        bool(use_pallas), None, True)
+    d_dev = [[jnp.asarray(d) for d in img] for img in datas]
+    q_dev = [[jnp.asarray(q) for q in img] for img in quants]
+    fdata, metrics, _ = solver(d_dev, q_dev, None)
+    return fdata, metrics
 
 
 def solve_striped(

@@ -204,6 +204,58 @@ def test_cli_tpu_stripes_e2e(fixtures_dir, tmp_path):
     assert psnr > 55.0, psnr
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_batch_stripe_mesh_2d(use_pallas, interpret_pallas):
+    """2-D (batch, y) mesh serving (VERDICT round-2 item 7): B=2
+    images x 4-way stripes on the 8-device CPU mesh match per-image
+    striped solves."""
+    from jpeg2png_tpu.parallel.mesh import batch_stripe_mesh
+    from jpeg2png_tpu.parallel.stripes import solve_striped_batched
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(31)
+    layout = [(16, 16, 1, 1), (8, 8, 2, 2), (8, 8, 2, 2)]
+    d0, q0, samps = synth(rng, layout)
+    d1, q1, _ = synth(rng, layout)
+    mesh2 = batch_stripe_mesh(2, 4)
+
+    fd_b, m_b = solve_striped_batched(
+        [d0, d1], [q0, q1], samps, 0.3, [0.001] * 3, 4, mesh2,
+        use_pallas=use_pallas)
+    assert fd_b.shape[0] == 2 and m_b.shape == (2, 4, 4)
+
+    mesh1 = stripe_mesh(4)
+    for bi, (dd, qq) in enumerate([(d0, q0), (d1, q1)]):
+        fd_1, m_1 = solve_striped(dd, qq, samps, 0.3, [0.001] * 3, 4,
+                                  mesh1, use_pallas=use_pallas)
+        np.testing.assert_allclose(np.asarray(m_b[bi]), np.asarray(m_1),
+                                   rtol=5e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(fd_b[bi]),
+                                   np.asarray(fd_1), atol=0.5)
+
+
+def test_striped_golden_50_iters(fixtures_dir):
+    """CONVERGED striped validation (VERDICT round-2 item 4): a full
+    50-iteration striped decode holds the same golden-PSNR bar against
+    the reference binary's own output as the single-chip path."""
+    from jpeg2png_tpu.io import read_jpeg
+    from jpeg2png_tpu.pipeline import smooth_decode
+    from jpeg2png_tpu.utils.config import SolverConfig
+    from tests.pngdec import decode_png
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    img = read_jpeg(fixtures_dir / "photo600x400_q20_420.jpg")
+    res = smooth_decode(img, SolverConfig(), stripes=4)
+    golden = np.asarray(decode_png(open(
+        fixtures_dir / "golden" / "photo600x400_q20_420_i50.png",
+        "rb").read()), np.float64)
+    mse = ((np.asarray(res.pixels, np.float64) - golden) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr > 45.0, psnr
+
+
 def test_cli_separate_stripes_e2e(fixtures_dir, tmp_path):
     """`-s --tpu-stripes 4`: per-channel STRIPED solves (VERDICT
     round-2 item 6 — this combination used to silently ignore
