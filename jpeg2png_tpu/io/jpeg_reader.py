@@ -55,19 +55,32 @@ class JpegImage:
     width: int
     progressive: bool
     planes: List[CoefPlane]
+    # libjpeg corrupt-data warnings emitted during decode ("Corrupt
+    # JPEG data", "Premature end of JPEG file", ...).  The file still
+    # decoded; the reference prints these to stderr and keeps going
+    # (jpeg.c:14-19 die_output_message).  Capped at 8 texts;
+    # n_warnings counts all of them.
+    warnings: tuple = ()
+    n_warnings: int = 0
 
     @property
     def nchannel(self) -> int:
         return len(self.planes)
 
 
-def read_jpeg(src: Union[str, pathlib.Path, bytes]) -> JpegImage:
+def read_jpeg(src: Union[str, pathlib.Path, bytes],
+              print_warnings: bool = True) -> JpegImage:
     """Read DCT coefficients + quant tables from a JPEG file or buffer.
 
     Raises ValueError with a libjpeg-derived message on malformed input
     (same failure taxonomy as the reference's hardened reader,
-    jpeg.c:34-67).
+    jpeg.c:34-67).  Corrupt-but-decodable input decodes with warnings
+    collected on JpegImage.warnings and (like the reference's
+    die_output_message, jpeg.c:14-19) printed to stderr unless
+    print_warnings=False.
     """
+    import sys
+
     if isinstance(src, (str, pathlib.Path)):
         with open(src, "rb") as f:
             raw = f.read()
@@ -88,11 +101,17 @@ def read_jpeg(src: Union[str, pathlib.Path, bytes]) -> JpegImage:
                 w_samp=comp["w_samp"],
             )
         )
+    warnings = tuple(parsed.get("warnings", ()))
+    if print_warnings:
+        for w in warnings:
+            print(f"libjpeg error: {w}", file=sys.stderr)
     return JpegImage(
         height=parsed["height"],
         width=parsed["width"],
         progressive=bool(parsed["progressive"]),
         planes=planes,
+        warnings=warnings,
+        n_warnings=int(parsed.get("n_warnings", 0)),
     )
 
 

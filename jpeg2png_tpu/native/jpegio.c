@@ -24,10 +24,18 @@
 #include <jpeglib.h>
 #include <jerror.h>
 
+#define MAX_WARNINGS 8
+
 struct err_mgr {
     struct jpeg_error_mgr pub;
     jmp_buf env;
     char msg[JMSG_LENGTH_MAX];
+    /* corrupt-data warnings collected during decode (the reference
+     * prints these through die_output_message and keeps going,
+     * jpeg.c:14-19); we collect here — plain C buffer writes, safe in
+     * the no-GIL decode region — and surface them on the result */
+    int n_warnings;
+    char warnings[MAX_WARNINGS][JMSG_LENGTH_MAX];
 };
 
 static void on_error_exit(j_common_ptr cinfo) {
@@ -37,9 +45,18 @@ static void on_error_exit(j_common_ptr cinfo) {
 }
 
 static void on_emit_message(j_common_ptr cinfo, int msg_level) {
-    /* swallow warnings; corrupt-but-decodable files still decode */
-    (void)cinfo;
-    (void)msg_level;
+    struct err_mgr *err = (struct err_mgr *)cinfo->err;
+    if (msg_level < 0) {
+        /* warning (e.g. "Corrupt JPEG data", "Premature end of JPEG
+         * file"): the file still decodes, but the caller should know */
+        if (err->n_warnings < MAX_WARNINGS) {
+            (*cinfo->err->format_message)(
+                cinfo, err->warnings[err->n_warnings]);
+        }
+        err->n_warnings++;
+        cinfo->err->num_warnings++;   /* keep libjpeg's own counter */
+    }
+    /* trace messages (msg_level > 0) stay suppressed */
 }
 
 static PyObject *
@@ -60,6 +77,7 @@ read_coefficients(PyObject *self, PyObject *args)
     d.err = jpeg_std_error(&err.pub);
     err.pub.error_exit = on_error_exit;
     err.pub.emit_message = on_emit_message;
+    err.n_warnings = 0;
 
     if (setjmp(err.env)) {
         jpeg_destroy_decompress(&d);
@@ -221,10 +239,32 @@ read_coefficients(PyObject *self, PyObject *args)
     jpeg_destroy_decompress(&d);
     PyBuffer_Release(&buf);
 
-    result = Py_BuildValue("{s:I,s:I,s:i,s:N}",
+    /* decode-time warnings (capped at MAX_WARNINGS texts; the count
+     * beyond the cap is visible as n_warnings) */
+    PyObject *warnings = PyList_New(0);
+    if (!warnings) {
+        Py_DECREF(components);
+        return NULL;
+    }
+    int kept = err.n_warnings < MAX_WARNINGS ? err.n_warnings
+                                             : MAX_WARNINGS;
+    for (int i = 0; i < kept; i++) {
+        PyObject *s = PyUnicode_FromString(err.warnings[i]);
+        if (!s || PyList_Append(warnings, s) < 0) {
+            Py_XDECREF(s);
+            Py_DECREF(warnings);
+            Py_DECREF(components);
+            return NULL;
+        }
+        Py_DECREF(s);
+    }
+
+    result = Py_BuildValue("{s:I,s:I,s:i,s:N,s:N,s:i}",
                            "height", image_h, "width", image_w,
                            "progressive", progressive,
-                           "components", components);
+                           "components", components,
+                           "warnings", warnings,
+                           "n_warnings", err.n_warnings);
     return result;
 }
 

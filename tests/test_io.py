@@ -217,3 +217,31 @@ def test_reader_fuzz_smoke():
     from fuzz_reader import run
 
     run(200, seed=1234, verbose=False)
+
+
+def test_corrupt_but_decodable_warnings(fixtures_dir):
+    """libjpeg corrupt-data warnings surface on JpegImage and print to
+    stderr like the reference's die_output_message (jpeg.c:14-19) —
+    VERDICT round-2 item 8; previously they were silently swallowed."""
+    import contextlib
+    import io as _io
+
+    from jpeg2png_tpu.io import read_jpeg
+
+    raw = open(fixtures_dir / "photo512_q10_420.jpg", "rb").read()
+    img = read_jpeg(raw[:len(raw) // 2], print_warnings=False)
+    assert img.n_warnings >= 1
+    assert any("Premature end" in w or "Corrupt" in w
+               for w in img.warnings), img.warnings
+    # the file still decodes with fully-shaped coefficient planes
+    assert img.planes[0].data.shape == (64, 64, 8, 8)
+
+    # a clean file carries no warnings
+    img2 = read_jpeg(fixtures_dir / "photo512_q10_420.jpg")
+    assert img2.n_warnings == 0 and img2.warnings == ()
+
+    # default behavior prints to stderr, reference-style
+    buf = _io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        read_jpeg(raw[:len(raw) // 2])
+    assert "libjpeg error:" in buf.getvalue()
