@@ -41,6 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
         prog="jpeg2png_tpu",
         description="Silky smooth JPEG decoding on TPU — recover the "
         "smoothest image that re-encodes to the input JPEG.",
+        epilog="Progress note: the solve runs on-device; the bar's "
+        "total counts iterations but advances in resumable device "
+        "chunks (roughly 8-50 iterations each), and solves of <= 16 "
+        "iterations tick once per file on completion.  In multi-host "
+        "runs (--tpu-distributed) the PNG/CSV/progress writers run on "
+        "process 0 only, and with --tpu-batch each process solves its "
+        "own share of the file list (the CSV then covers process 0's "
+        "share).",
         add_help=False,
     )
     p.add_argument("inputs", nargs="*", metavar="picture.jpg")
@@ -83,7 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-era extras ---
     p.add_argument("--tpu-stripes", type=int, default=0, metavar="N",
                    help="shard each image into N row stripes across "
-                        "devices (0 = auto: single device)")
+                        "devices (0 = auto: single device); with -s, "
+                        "each channel runs its own striped solve")
     p.add_argument("--tpu-batch", action="store_true",
                    help="solve same-shaped inputs batched in one step")
     p.add_argument("--tpu-distributed", action="store_true",
