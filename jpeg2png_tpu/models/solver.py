@@ -326,7 +326,7 @@ def _build_solver_impl(
                 pgrad = pgrad_region
             return fnew, pgrad, dist
 
-        def solve_mega(carry, fresh, data_arr, q_arr):
+        def solve_mega(carry, fresh, data_arr, q_arr, lite=False):
             # ONE Pallas kernel for ALL nsteps iterations
             # (kernels/iter_step.py): the entire solver state stays in
             # VMEM across iterations; per iteration a gradient phase and
@@ -352,7 +352,8 @@ def _build_solver_impl(
             fnews, fistas_out, devqs_out, partials = iter_step.fused_solve(
                 list(fdatas), list(fistas), list(devqs), factors,
                 step_size, data_arr, q_arr,
-                pa_ss, [(g.h_samp, g.w_samp) for g in geoms], weight)
+                pa_ss, [(g.h_samp, g.w_samp) for g in geoms], weight,
+                lite=lite)
 
             metrics, dist_final = mega_metrics(
                 partials, prob_dist, p_alphas, total_alpha,
@@ -472,7 +473,16 @@ def _build_solver_impl(
                 supports as _grad_supports)
 
             samp_list = [(g.h_samp, g.w_samp) for g in geoms]
-            if iter_step.supports(nchannel, H, W, samp_list, True):
+            # mega-lite: past the full-precision VMEM gate, bf16
+            # side-canvases (fista diff / gradient / devq) keep the
+            # whole solve resident up to ~3.7 MP (iter_step.supports_lite
+            # rationale; validated vs the two-kernel tier on-chip)
+            mega_lite = (
+                not iter_step.supports(nchannel, H, W, samp_list, True)
+                and iter_step.supports_lite(
+                    nchannel, H, W, samp_list, True))
+            if (iter_step.supports(nchannel, H, W, samp_list, True)
+                    or mega_lite):
                 # channels whose region is smaller than the canvas (the
                 # odd-size luma case, compute.c:349-403 loop bounds):
                 # pad their coef arrays to canvas-coef shape with a huge
@@ -505,7 +515,7 @@ def _build_solver_impl(
                     return (jnp.stack(carry_in[0]),
                             jnp.zeros((0, 4), jnp.float32), carry_in)
                 carry_out, metrics = solve_mega(
-                    carry_in, fresh, data_arr, q_arr)
+                    carry_in, fresh, data_arr, q_arr, lite=mega_lite)
                 return jnp.stack(carry_out[0]), metrics, carry_out
             # two-kernel tier for canvases beyond the fused-solve VMEM
             # gate: W-pad to the 128*max_sx alignment the kernels need
@@ -623,6 +633,8 @@ def active_tier(geoms: Tuple[ChannelGeometry, ...],
     samps = [(g.h_samp, g.w_samp) for g in geoms]
     if iter_step.supports(len(geoms), H, W, samps, True):
         return "mega"
+    if iter_step.supports_lite(len(geoms), H, W, samps, True):
+        return "mega-lite"
     wq = 128 * max(sx for _, sx in samps)
     W2 = -(-W // wq) * wq
     if (H % 8 == 0

@@ -451,6 +451,9 @@ def _build_striped(
             iqs = [jnp.stack([p[3][c] for p in per])
                    for c in range(nchannel)]
             f0 = jnp.stack([p[4] for p in per])
+            # pin the padded constants (see the non-batch branch)
+            dqs, los, his, iqs, f0 = jax.lax.optimization_barrier(
+                (dqs, los, his, iqs, f0))
             if carry is None:
                 pgz = ([jnp.zeros((B, n_prob, H2, W2), jnp.float32)]
                        if n_prob else [])
@@ -463,6 +466,13 @@ def _build_striped(
             return fdata[:, :, :H, :W], metrics, carry_out
         dqs, los, his, iqs, f0 = _padded_consts(
             datas, quants, geoms, H, W, H2, W2)
+        # pin the padded constants: without this barrier XLA's
+        # while-loop constant sinking re-materializes the tile/pad
+        # broadcasts INSIDE the solve loop — profiled at ~1.1 ms/iter
+        # of reshape+broadcast at 6.29 MP (the same trap solver.py:194
+        # pins on the single-chip path)
+        dqs, los, his, iqs, f0 = jax.lax.optimization_barrier(
+            (dqs, los, his, iqs, f0))
         if carry is None:
             pgz = ([jnp.zeros((n_prob, H2, W2), jnp.float32)]
                    if n_prob else [])

@@ -346,3 +346,64 @@ def test_fused_solve_random_geometries(interpret_pallas):
             np.asarray(mp_)[0], np.asarray(mx_)[0], rtol=1e-4,
             err_msg=f"metrics {H}x{W}")
     assert tried >= 4, "fuzz loop never hit a supported geometry"
+
+
+@pytest.mark.parametrize("samps,prob,weight", [
+    ([(1, 1), (2, 2), (2, 2)], [True, True, True], 0.3),
+    ([(1, 1)] * 3, [True, False, True], 0.0),
+])
+def test_fused_solve_lite_matches_ops(interpret_pallas, samps, prob,
+                                      weight):
+    """The LITE whole-solve kernel (bf16 fista-diff/gradient/devq
+    canvases — the >2.4 MP VMEM-gate extension) stays within bf16
+    subgradient-noise tolerance of the f32 XLA solver over a short
+    horizon."""
+    from jpeg2png_tpu.kernels import iter_step
+    from jpeg2png_tpu.models.solver import (
+        _fista_factors_np, objective_alphas, solve_joint)
+    from jpeg2png_tpu.ops.blocks import deblockify
+
+    rng = np.random.default_rng(11)
+    H = W = 128
+    C = len(samps)
+    datas, quants = [], []
+    for sy, sx in samps:
+        nb = H // (8 * sy)
+        datas.append(rng.integers(-25, 25, (nb, nb, 8, 8))
+                     .astype(np.int16))
+        quants.append(rng.integers(1, 60, (8, 8)).astype(np.uint16))
+    iters = 4
+    pweights = [0.001 if p else 0.0 for p in prob]
+    pa, _ = objective_alphas(weight, pweights, C)
+    pa_ss = tuple(pa[c] * sy * sx
+                  for c, (sy, sx) in enumerate(samps))
+
+    import jax.numpy as jnp
+    from jpeg2png_tpu.ops.dct_raster import idct_raster
+    from jpeg2png_tpu.ops.resample import upsample_nearest_clamped
+    f0s, dat_rs, q_rs = [], [], []
+    for c, (sy, sx) in enumerate(samps):
+        q_r = jnp.tile(jnp.asarray(quants[c], jnp.float32),
+                       (datas[c].shape[0], datas[c].shape[1]))
+        d_r = deblockify(jnp.asarray(datas[c], jnp.float32))
+        f0s.append(upsample_nearest_clamped(
+            idct_raster(d_r * q_r), sy, sx, H, W))
+        dat_rs.append(deblockify(jnp.asarray(datas[c])))
+        q_rs.append(q_r)
+    dq0 = [jnp.zeros_like(q_rs[c]) for c in range(C) if prob[c]]
+    factors, _ = _fista_factors_np(iters)
+    radius = (H * W) ** 0.5 / 2.0
+    step = radius / (1.0 + iters) ** 0.5
+
+    fnews, _, _, partials = iter_step.fused_solve(
+        f0s, f0s, dq0, jnp.asarray(factors), step,
+        dat_rs, q_rs, pa_ss, samps, weight, lite=True)
+
+    fd_ref, m_ref = solve_joint(datas, quants, samps, weight, pweights,
+                                iters, use_pallas=False)
+    fd = np.stack([np.asarray(f) for f in fnews])
+    np.testing.assert_allclose(fd, np.asarray(fd_ref), atol=0.5)
+    # objective partials track within bf16-noise tolerance
+    m = np.asarray(partials)
+    np.testing.assert_allclose(m[:, len(samps)],     # tv column
+                               np.asarray(m_ref)[:, 2], rtol=2e-2)

@@ -272,6 +272,39 @@ def main():
         check(f"striped metrics finite ({fix})",
               np.isfinite(np.asarray(m_s)).all())
 
+    # --- mega-LITE tier (bf16 side-canvases extend the whole-solve
+    # VMEM gate past 2.4 MP — round 3): compiled 3.15 MP solve vs the
+    # f32 XLA path.  The bf16 canvases hold gradient-class quantities
+    # only, so this must track the f32 trajectory closely ---
+    from jpeg2png_tpu.models.solver import active_tier
+
+    rng5 = np.random.default_rng(5)
+    datas6 = [
+        rng5.integers(-25, 25, (256, 192, 8, 8)).astype(np.int16),
+        rng5.integers(-12, 12, (128, 96, 8, 8)).astype(np.int16),
+        rng5.integers(-12, 12, (128, 96, 8, 8)).astype(np.int16)]
+    quants6 = [rng5.integers(1, 60, (8, 8)).astype(np.uint16)
+               for _ in range(3)]
+    samps6 = [(1, 1), (2, 2), (2, 2)]
+    from jpeg2png_tpu.models.solver import ChannelGeometry
+    geoms6 = tuple(ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+                   for d, (sy, sx) in zip(datas6, samps6))
+    check("3.15MP dispatches to mega-lite",
+          active_tier(geoms6, True) == "mega-lite",
+          active_tier(geoms6, True))
+    fd_l, m_l = solve_joint(datas6, quants6, samps6, 0.3, [0.001] * 3,
+                            50)
+    fd_x6, m_x6 = solve_joint(datas6, quants6, samps6, 0.3,
+                              [0.001] * 3, 50, use_pallas=False)
+    psnr = _psnr(fd_l, fd_x6)
+    check("mega-lite (3.15MP) vs xla @50", psnr > 55,
+          f"psnr={psnr:.2f} dB")
+    ol = float(np.asarray(m_l)[-1, 0])
+    ox = float(np.asarray(m_x6)[-1, 0])
+    check("mega-lite objective matches",
+          abs(ol - ox) / max(abs(ox), 1e-9) < 1e-3,
+          f"{ol:.6g} vs {ox:.6g}")
+
     # --- CONVERGED striped gate (VERDICT round-2 item 4): -i 1000 on
     # the n=1 mesh vs the fused single-chip solve.  The single-chip
     # path holds a 69 dB converged golden; the striped path must hold
