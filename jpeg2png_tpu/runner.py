@@ -202,7 +202,12 @@ def decode_files_batched(
                 ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
                 for p in img.planes)
             H, W = canvas_shape(geoms)
-            if iter_step.supports(img.nchannel, H, W, list(samps), True):
+            if (iter_step.supports(img.nchannel, H, W, list(samps),
+                                   True)
+                    or iter_step.supports_lite(
+                        img.nchannel, H, W, list(samps), True)):
+                # 2.4-3.7 MP buckets ride the mega-lite kernel
+                # (solve_bucket picks lite from the bucket shape)
                 hb, wb = bucket_shape_for(img)
                 buckets[("dyn", hb, wb, samps)].append(i)
                 continue
@@ -332,7 +337,8 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _bucket_solver(bucket, samps, pa_ss, weight, iterations, n_dp=1):
+def _bucket_solver(bucket, samps, pa_ss, weight, iterations, n_dp=1,
+                   lite=False):
     """Jitted dynamic-extent bucket solver, cached per configuration
     (one compilation serves every image and batch size B of the
     bucket... B still shapes the trace; lax.map keys on B).  n_dp > 1
@@ -356,7 +362,7 @@ def _bucket_solver(bucket, samps, pa_ss, weight, iterations, n_dp=1):
         fnews, _, _, partials = iter_step.fused_solve(
             fs, fs, dq0, jnp.asarray(factors_np), step[0],
             [dat[c] for c in range(C)], [q[c] for c in range(C)],
-            pa_ss, list(samps), weight, extents=ext)
+            pa_ss, list(samps), weight, extents=ext, lite=lite)
         return jnp.stack(fnews), partials
 
     return _dp_wrap(lambda t: jax.lax.map(one, t), n_dp)
@@ -412,9 +418,14 @@ def solve_bucket(
     B = len(images)
     n_dp = dp_degree(B, data_parallel)
 
+    # lite-ness is a property of the BUCKET shape: past the f32 VMEM
+    # gate, the bucket solves through the mega-lite kernel
+    from jpeg2png_tpu.kernels import iter_step as _is
+    lite = not _is.supports(C, HB, WB, samps, True)
+
     mapped = _bucket_solver(
         (HB, WB), tuple(samps), pa_ss, float(weight), int(iterations),
-        n_dp)
+        n_dp, lite)
     stacked = (
         np.stack(f0s),
         [np.stack([d[c] for d in dats]) for c in range(C)],

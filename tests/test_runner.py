@@ -192,3 +192,54 @@ def test_bucket_data_parallel_matches(fixtures_dir, monkeypatch):
                       data_parallel=1)
     np.testing.assert_allclose(r2.fdata, r1.fdata, atol=1e-4)
     np.testing.assert_allclose(r2.metrics, r1.metrics, rtol=1e-5)
+
+
+def test_solve_bucket_lite_matches_per_image(fixtures_dir, monkeypatch):
+    """Dynamic-extent bucket serving through the mega-LITE kernel
+    (buckets past the f32 VMEM gate — round 3): same parity bar as the
+    full-precision bucket test, with bf16-noise tolerance."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    # force the lite decision at this (small) bucket shape
+    from jpeg2png_tpu.kernels import iter_step
+    monkeypatch.setattr(iter_step, "supports",
+                        lambda *a, **k: False)
+
+    from jpeg2png_tpu.io import read_jpeg
+    from jpeg2png_tpu.models.solver import solve_joint
+    from jpeg2png_tpu.runner import _bucket_solver, solve_bucket
+
+    _bucket_solver.cache_clear()
+    try:
+        imgs = [read_jpeg(fixtures_dir / "lineart128_q10_420.jpg"),
+                read_jpeg(fixtures_dir / "lineart64_q20_420.jpg")]
+        bucket = (256, 256)
+        # 1 iteration: pre-chaos (lineart's flat regions flip TV
+        # subgradient branches under ANY perturbation from iteration 2
+        # on — bf16 side-canvas noise included; the project-wide
+        # convention is pre-chaos exactness + PSNR later)
+        res = solve_bucket(imgs, bucket, 0.3, [0.001] * 3, 1)
+        for bi, img in enumerate(imgs):
+            d = [p.data for p in img.planes]
+            q = [p.quant for p in img.planes]
+            s = [(p.h_samp, p.w_samp) for p in img.planes]
+            fx, mx = solve_joint(d, q, s, 0.3, [0.001] * 3, 1,
+                                 use_pallas=False)
+            fx = np.asarray(fx)
+            H, W = fx.shape[1:]
+            np.testing.assert_allclose(res.fdata[bi][:, :H, :W], fx,
+                                       atol=0.1)
+            assert np.all(res.fdata[bi][:, H:, :] == 0.0)
+            assert np.all(res.fdata[bi][:, :, W:] == 0.0)
+            np.testing.assert_allclose(
+                res.metrics[bi][:1, 0], np.asarray(mx)[:1, 0],
+                rtol=2e-2)
+    finally:
+        _bucket_solver.cache_clear()

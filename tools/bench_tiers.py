@@ -19,9 +19,14 @@ the whole thing twice when a number looks off (CLAUDE.md).
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def synth(nby, nbx, seed=0):
