@@ -64,6 +64,10 @@ def assert_metrics_close(ours, golden, rtol=6e-3):
     # (compute.c:349-403), fixture from tools/tiny_jpeg.py since no
     # system encoder emits it
     ("art120x88_q40_440", 5),
+    # 4:1:1 (sy=1, sx=4): the widest horizontal footprint libjpeg
+    # accepts — exercises w_samp=4 mean/residual projection and
+    # 4-column prob replication (tools/tiny_jpeg.py fixture)
+    ("art128x96_q35_411", 5),
 ])
 def test_joint_i5_matches_reference(name, trace_iters, fixtures_dir):
     img = read_jpeg(fixtures_dir / f"{name}.jpg")

@@ -102,8 +102,9 @@ def main():
         check("600x400 padded path vs reference binary (i50)", psnr > 45,
               f"psnr={psnr:.2f} dB")
 
-    # --- 4:2:2 and 4:4:4 through the fused path vs reference goldens ---
-    for name in ("art440x320_q30_422", "art440x320_q85_444"):
+    # --- 4:2:2, 4:4:4 and 4:1:1 through the fused path vs goldens ---
+    for name in ("art440x320_q30_422", "art440x320_q85_444",
+                 "art128x96_q35_411"):
         imgX = read_jpeg(FIXDIR / f"{name}.jpg")
         dX = [p.data for p in imgX.planes]
         qX = [p.quant for p in imgX.planes]

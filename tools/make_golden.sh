@@ -20,3 +20,6 @@ $REF art120x88_q40_440.jpg -o golden/art120x88_q40_440_i50.png -q
 $REF lineart64_q20_420.jpg -o golden/lineart64_q20_420_striple_i543.png \
     -s -w 0.5,0.2,0.1 -p 0.002,0.001,0.0005 -i 5,4,3 \
     -c golden/lineart64_q20_420_striple_i543.csv -q
+# 4:1:1 (sy=1, sx=4 chroma): widest horizontal footprint
+$REF art128x96_q35_411.jpg -o golden/art128x96_q35_411_i5.png -i 5 -c golden/art128x96_q35_411_i5.csv -q
+$REF art128x96_q35_411.jpg -o golden/art128x96_q35_411_i50.png -q
