@@ -68,12 +68,21 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
-    t1 = timed(n1)
+    def marginal(timed_fn, mp_, a, b, attempts=3):
+        # tunnel jitter occasionally yields t(b) <= t(a); a negative
+        # delta is noise, not an infinite rate — retry, then sanity-cap
+        # by the longer run's wall rate
+        for _ in range(attempts):
+            ta, tb = timed_fn(a), timed_fn(b)
+            if tb > ta * 1.02:
+                break
+        rate = mp_ * (b - a) / max(tb - ta, 1e-9)
+        return min(rate, 5.0 * mp_ * b / tb)
+
     if args.wall:
-        value = mp * n1 / t1
+        value = mp * n1 / timed(n1)
     else:
-        t2 = timed(n2)
-        value = mp * (n2 - n1) / max(t2 - t1, 1e-9)
+        value = marginal(timed, mp, n1, n2)
 
     out = {
         "metric": "mp_iter_per_s",
@@ -113,9 +122,8 @@ def main():
                     best = min(best, time.time() - t0)
                 return best
 
-            ta, tb = timed6(30), timed6(130)
             out["mp_iter_per_s_6mp"] = round(
-                mp6 * 100 / max(tb - ta, 1e-9), 1)
+                marginal(timed6, mp6, 30, 130), 1)
         except Exception:   # noqa: BLE001 - secondary metric only
             out["mp_iter_per_s_6mp"] = None
 
@@ -148,9 +156,8 @@ def main():
                     best = min(best, time.time() - t0)
                 return best
 
-            ta, tb = timed_s(30), timed_s(130)
             out["mp_iter_per_s_striped_6mp"] = round(
-                mp6 * 100 / max(tb - ta, 1e-9), 1)
+                marginal(timed_s, mp6, 30, 130), 1)
         except Exception:   # noqa: BLE001 - secondary metric only
             out["mp_iter_per_s_striped_6mp"] = None
 

@@ -41,6 +41,23 @@ def synth(nby, nbx, seed=0):
     return datas, quants, [(1, 1), (2, 2), (2, 2)]
 
 
+
+
+def marginal_rate(timed, mp, n1, n2, attempts=3):
+    """Robust marginal: retry when tunnel jitter makes t(n2) <= t(n1)
+    (seen in practice — a negative/zero delta means the measurement is
+    noise, not an infinite rate), and sanity-cap by the wall rate of
+    the longer run (the marginal can exceed it via fixed overhead
+    cancellation, but not by orders of magnitude)."""
+    t1 = t2 = None
+    for _ in range(attempts):
+        t1, t2 = timed(n1), timed(n2)
+        if t2 > t1 * 1.02:
+            break
+    rate = mp * (n2 - n1) / max(t2 - t1, 1e-9)
+    wall = mp * n2 / t2
+    return min(rate, 5.0 * wall)
+
 def tier_rate(nby, nbx, n1, n2, reps=4):
     from jpeg2png_tpu.models.solver import solve_joint
 
@@ -60,8 +77,7 @@ def tier_rate(nby, nbx, n1, n2, reps=4):
             best = min(best, time.time() - t0)
         return best
 
-    t1, t2 = timed(n1), timed(n2)
-    return mp, mp * (n2 - n1) / max(t2 - t1, 1e-9)
+    return mp, marginal_rate(timed, mp, n1, n2)
 
 
 TIERS = [
@@ -100,8 +116,7 @@ def striped_rate(nby, nbx, n1, n2, reps=3):
             best = min(best, time.time() - t0)
         return best
 
-    t1, t2 = timed(n1), timed(n2)
-    return mp, mp * (n2 - n1) / max(t2 - t1, 1e-9)
+    return mp, marginal_rate(timed, mp, n1, n2)
 
 
 def main():
