@@ -188,13 +188,22 @@ def main(argv=None) -> int:
 
     # rank-0-only host side effects in multi-controller runs: one CSV
     # file, one progress bar (jpeg2png.c:162-165's single-writer analog)
-    from jpeg2png_tpu.parallel.distributed import is_primary
+    from jpeg2png_tpu.parallel.distributed import is_multi_process, is_primary
     primary = is_primary()
+    multi_process = is_multi_process()
 
     csv_f = open(args.csv_log, "w") if (args.csv_log and primary) else None
     logger = ConvergenceLogger(csv_f)
 
-    total = (nin * cfg.iterations[0] if not cfg.separate_components
+    batched = args.tpu_batch and nin > 1 and not cfg.separate_components
+    nin_bar = nin
+    if batched and multi_process:
+        # the batched runner partitions files round-robin across
+        # processes (runner.py); rank 0's bar only ever ticks for the
+        # files rank 0 owns — size it to that share so it completes
+        import jax
+        nin_bar = len(args.inputs[0::jax.process_count()])
+    total = (nin_bar * cfg.iterations[0] if not cfg.separate_components
              else nin * sum(cfg.iterations))
     progress = None if (args.quiet or not primary) else ProgressBar(total)
 
@@ -211,7 +220,7 @@ def main(argv=None) -> int:
 
     pairs = list(zip(args.inputs, outfiles))
     errors = []
-    if args.tpu_batch and nin > 1 and not cfg.separate_components:
+    if batched:
         # one batched solve per geometry bucket (runner.py), with
         # per-image error isolation: a corrupt member drops out with a
         # stderr line and the rest of the bucket still solves
@@ -234,7 +243,11 @@ def main(argv=None) -> int:
                 progress.increment(cfg.iterations[0])
     # per-image error isolation: one bad file doesn't kill the batch
     # (improvement over the reference, where die() exits, SURVEY.md §5)
-    elif args.threads and args.threads > 1 and nin > 1:
+    elif args.threads and args.threads > 1 and nin > 1 and not multi_process:
+        # single-process only: in a multi-controller run every rank must
+        # reach decode_file's per-file write barrier in the SAME order,
+        # which thread scheduling cannot guarantee — those runs fall
+        # through to the serial loop below (same file order everywhere)
         with concurrent.futures.ThreadPoolExecutor(args.threads) as pool:
             errors = [e for e in pool.map(run_one, pairs) if e]
     else:

@@ -83,26 +83,31 @@ def save_state(path, carry, iteration: int, fingerprint: str) -> None:
         return
     buf = io.BytesIO()
     pickle.dump(treedef, buf)
-    d = os.path.dirname(os.path.abspath(path))
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(
-                f,
-                _treedef=np.frombuffer(buf.getvalue(), dtype=np.uint8),
-                _iteration=np.int64(iteration),
-                _fingerprint=np.frombuffer(fingerprint.encode(),
-                                           dtype=np.uint8),
-                **arrays,
-            )
-        os.replace(tmp, path)
-    except BaseException:
+        d = os.path.dirname(os.path.abspath(path))
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
-    barrier("jpeg2png-ckpt-save")
+            with os.fdopen(fd, "wb") as f:
+                np.savez(
+                    f,
+                    _treedef=np.frombuffer(buf.getvalue(), dtype=np.uint8),
+                    _iteration=np.int64(iteration),
+                    _fingerprint=np.frombuffer(fingerprint.encode(),
+                                               dtype=np.uint8),
+                    **arrays,
+                )
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+    finally:
+        # reached on success AND on a rank-0 write failure: the other
+        # ranks are already waiting at their barrier above — skipping
+        # this one would strand them forever instead of failing fast
+        barrier("jpeg2png-ckpt-save")
 
 
 def load_state(path, fingerprint: str):
@@ -210,10 +215,13 @@ def solve_striped_checkpointed(
             own_checkpoint = True
 
     from jpeg2png_tpu.parallel.distributed import barrier, is_primary
-    if own_checkpoint and is_primary() and os.path.exists(checkpoint_path):
-        os.remove(checkpoint_path)
     if own_checkpoint:
-        barrier("jpeg2png-ckpt-done")
+        try:
+            if is_primary() and os.path.exists(checkpoint_path):
+                os.remove(checkpoint_path)
+        finally:
+            # always reach the barrier, even if rank-0's remove raises
+            barrier("jpeg2png-ckpt-done")
 
     return CheckpointedResult(
         fdata=_to_host(fdata),   # striped: cross-process sharded
@@ -287,10 +295,13 @@ def solve_checkpointed(
     # one this run wrote or fingerprint-validated (resume=False must
     # not delete a stranger's file); rank 0 owns the file
     from jpeg2png_tpu.parallel.distributed import barrier, is_primary
-    if own_checkpoint and is_primary() and os.path.exists(checkpoint_path):
-        os.remove(checkpoint_path)
     if own_checkpoint:
-        barrier("jpeg2png-ckpt-done")
+        try:
+            if is_primary() and os.path.exists(checkpoint_path):
+                os.remove(checkpoint_path)
+        finally:
+            # always reach the barrier, even if rank-0's remove raises
+            barrier("jpeg2png-ckpt-done")
 
     return CheckpointedResult(
         fdata=np.asarray(fdata),

@@ -219,10 +219,14 @@ def decode_file(
     # writes the file (the reference's single writer, jpeg2png.c:162-165
     # — gather_output already landed the pixels on every host).  The
     # barrier keeps non-writers from racing ahead (e.g. exiting and
-    # tearing down the coordinator before the write completes).
-    if primary:
-        write_png(outfile, result.pixels, bits)
-    barrier(f"write:{outfile}")
+    # tearing down the coordinator before the write completes); it sits
+    # in a finally so a rank-0 write failure surfaces as an error on
+    # rank 0 instead of stranding the other ranks at the barrier.
+    try:
+        if primary:
+            write_png(outfile, result.pixels, bits)
+    finally:
+        barrier(f"write:{outfile}")
     return result
 
 

@@ -419,9 +419,17 @@ def solve_bucket(
     n_dp = dp_degree(B, data_parallel)
 
     # lite-ness is a property of the BUCKET shape: past the f32 VMEM
-    # gate, the bucket solves through the mega-lite kernel
+    # gate, the bucket solves through the mega-lite kernel — and past
+    # the lite gate too there is no whole-solve kernel for this bucket;
+    # refuse loudly rather than blow the Mosaic VMEM cap at compile time
+    # (decode_files_batched pre-filters, but solve_bucket is public API)
     from jpeg2png_tpu.kernels import iter_step as _is
     lite = not _is.supports(C, HB, WB, samps, True)
+    if lite and not _is.supports_lite(C, HB, WB, samps, True):
+        raise ValueError(
+            f"bucket canvas {HB}x{WB} (C={C}) exceeds the whole-solve "
+            "VMEM gates (f32 and lite); solve these images individually "
+            "via solve_joint / solve_striped instead")
 
     mapped = _bucket_solver(
         (HB, WB), tuple(samps), pa_ss, float(weight), int(iterations),

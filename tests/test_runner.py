@@ -243,3 +243,17 @@ def test_solve_bucket_lite_matches_per_image(fixtures_dir, monkeypatch):
                 rtol=2e-2)
     finally:
         _bucket_solver.cache_clear()
+
+
+def test_solve_bucket_refuses_oversized_bucket(fixtures_dir):
+    """A bucket shape past BOTH whole-solve VMEM gates (f32 and lite)
+    raises a clear ValueError up front instead of failing deep inside
+    the Mosaic compile (round-3 code-review finding: the invariant
+    used to live only in decode_files_batched's pre-filter)."""
+    import pytest
+
+    from jpeg2png_tpu.runner import solve_bucket
+
+    img = read_jpeg(fixtures_dir / "lineart128_q10_420.jpg")
+    with pytest.raises(ValueError, match="exceeds the whole-solve"):
+        solve_bucket([img], (4096, 4096), 0.3, [0.001] * 3, 1)

@@ -21,62 +21,18 @@ import argparse
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from jpeg2png_tpu.utils.timing import (  # noqa: E402
+    joint_timer, marginal_rate, striped_timer, synth_coefs)
 
-def synth(nby, nbx, seed=0):
-    rng = np.random.default_rng(seed)
-    datas = [
-        rng.integers(-25, 25, (nby, nbx, 8, 8)).astype(np.int16),
-        rng.integers(-12, 12, (nby // 2, nbx // 2, 8, 8)).astype(np.int16),
-        rng.integers(-12, 12, (nby // 2, nbx // 2, 8, 8)).astype(np.int16),
-    ]
-    quants = [rng.integers(1, 60, (8, 8)).astype(np.uint16)
-              for _ in range(3)]
-    return datas, quants, [(1, 1), (2, 2), (2, 2)]
-
-
-
-
-def marginal_rate(timed, mp, n1, n2, attempts=3):
-    """Robust marginal: retry when tunnel jitter makes t(n2) <= t(n1)
-    (seen in practice — a negative/zero delta means the measurement is
-    noise, not an infinite rate), and sanity-cap by the wall rate of
-    the longer run (the marginal can exceed it via fixed overhead
-    cancellation, but not by orders of magnitude)."""
-    t1 = t2 = None
-    for _ in range(attempts):
-        t1, t2 = timed(n1), timed(n2)
-        if t2 > t1 * 1.02:
-            break
-    rate = mp * (n2 - n1) / max(t2 - t1, 1e-9)
-    wall = mp * n2 / t2
-    return min(rate, 5.0 * wall)
 
 def tier_rate(nby, nbx, n1, n2, reps=4):
-    from jpeg2png_tpu.models.solver import solve_joint
-
-    datas, quants, samps = synth(nby, nbx)
-    H, W = nby * 8, nbx * 8
-    mp = H * W / 1e6
-
-    def timed(iters):
-        best = float("inf")
-        fd, m = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, iters)
-        np.asarray(m[-1])
-        for _ in range(reps):
-            t0 = time.time()
-            fd, m = solve_joint(datas, quants, samps, 0.3, [0.001] * 3,
-                                iters)
-            np.asarray(m[-1])
-            best = min(best, time.time() - t0)
-        return best
-
+    datas, quants, samps = synth_coefs(nby, nbx)
+    mp = nby * 8 * nbx * 8 / 1e6
+    timed = joint_timer(datas, quants, samps, reps)
     return mp, marginal_rate(timed, mp, n1, n2)
 
 
@@ -92,30 +48,9 @@ TIERS = [
 
 def striped_rate(nby, nbx, n1, n2, reps=3):
     """Per-chip rate of the fused striped body on an n=1 mesh."""
-    import jax
-
-    from jpeg2png_tpu.parallel.mesh import stripe_mesh
-    from jpeg2png_tpu.parallel.stripes import solve_striped
-
-    datas, quants, samps = synth(nby, nbx)
+    datas, quants, samps = synth_coefs(nby, nbx)
     mp = nby * 8 * nbx * 8 / 1e6
-    mesh = stripe_mesh(1)
-    use_pallas = jax.default_backend() == "tpu"
-
-    def timed(iters):
-        best = float("inf")
-        fd, m = solve_striped(datas, quants, samps, 0.3, [0.001] * 3,
-                              iters, mesh, use_pallas=use_pallas)
-        np.asarray(m[-1])
-        for _ in range(reps):
-            t0 = time.time()
-            fd, m = solve_striped(datas, quants, samps, 0.3,
-                                  [0.001] * 3, iters, mesh,
-                                  use_pallas=use_pallas)
-            np.asarray(m[-1])
-            best = min(best, time.time() - t0)
-        return best
-
+    timed = striped_timer(datas, quants, samps, reps)
     return mp, marginal_rate(timed, mp, n1, n2)
 
 
