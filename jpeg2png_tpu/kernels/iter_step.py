@@ -670,7 +670,7 @@ def fused_solve(f0s, fista0s, devq0s, factors, step_size,
         step=0.0 if dynamic else float(step_size),
         nsteps=int(nsteps), dynamic=dynamic, SH=SH, lite=lite)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     n_in = 2 * C + P + 2 * C + 4 * n_samp
     n_out = 2 * C + P + 1
 

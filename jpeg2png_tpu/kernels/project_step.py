@@ -296,7 +296,7 @@ def fused_project(extrap, grad, scale, lo, hi, dq, inv_q, p_alpha_ss,
         _kernel, H=H, W=W, SH=SH, SR=SR, WC=WC, sy=sy, sx=sx,
         RC=RC, TC=TC, with_prob=with_prob, nstripes=nstripes)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     n_in = 10 if with_prob else 8
     n_out = 3 if with_prob else 1
 
@@ -540,7 +540,7 @@ def fused_project_multi(extraps, grads, scales, los, his, dqs, iqs,
     assert SH, (H, W, samps)
     nstripes = H // SH
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     operands = []
     n_in = 0
     scratch = []
@@ -630,3 +630,363 @@ def fused_project_multi(extraps, grads, scales, los, his, dqs, iqs,
             pgrads.append(None)
             dists.append(jnp.float32(0.0))
     return fnews, pgrads, dists
+
+
+# ---------------------------------------------------------------------------
+# LITE multi-channel variant: the two-kernel tier's HBM-traffic diet.
+# State crossing the kernels is f (f32) + d = f - fista (bf16) + the
+# gradient (bf16) + a coef-space devq carry (bf16), and the clamp
+# bounds are computed IN-KERNEL from the int16 coefficients and the
+# quant raster exactly as the mega kernel does (kernels/iter_step.py:
+# q == 0 marks frozen canvas padding, q >= 2^39 the FREE region-gap
+# sentinel) — replacing the four streamed f32 lo/hi/dq/iq rasters with
+# one int16 + one f32 raster.  Per-iteration HBM traffic at 6.29 MP
+# 4:2:0 drops from ~900 MB to ~510 MB.  Numerics follow mega-lite:
+# bf16 holds only gradient-class quantities, the iterate stays f32
+# (kernels/iter_step.py supports_lite rationale).
+# ---------------------------------------------------------------------------
+
+_FREE_Q_MIN = 2.0 ** 39
+
+
+def _stripe_math_lite(scale, factor, f_t, d_t, g_t, dat_t, q_t,
+                      out_t, dn_t, dq_out_t, cf_t, dc_t,
+                      ah, al, bh, bl, acc, dist_slot, *,
+                      SH, W, WC, sy, sx, RC, TC, with_prob):
+    """One channel's lite stripe: recompute the FISTA extrapolation
+    from (f, d), take the normalized step, project onto the in-kernel
+    quant boxes, and emit (fnew f32, dnew bf16, devq bf16)."""
+    RCc = RC // sy
+    TCs = TC * sx
+    ss = float(sy * sx)
+
+    def col_fwd(xh, xl):
+        for tc in range(WC // TC):
+            cf_t[:, tc * TC:(tc + 1) * TC] = _dot3(
+                xh[:, tc * TCs:(tc + 1) * TCs],
+                xl[:, tc * TCs:(tc + 1) * TCs],
+                bh, bl, ((1,), (1,)))
+        return cf_t[:, :]
+
+    def col_bwd(x):
+        xh, xl = _split(x)
+        for tc in range(WC // TC):
+            dc_t[:, tc * TCs:(tc + 1) * TCs] = _dot3(
+                xh[:, tc * TC:(tc + 1) * TC],
+                xl[:, tc * TC:(tc + 1) * TC],
+                bh, bl, ((1,), (0,)))
+        return dc_t[:, :]
+
+    for rc in range(SH // RC):
+        p0 = rc * RC
+        c0 = rc * RCc
+        fv = f_t[p0:p0 + RC, :]
+        ev = fv + factor * d_t[p0:p0 + RC, :].astype(_F32)
+        fmid = ev - scale * g_t[p0:p0 + RC, :].astype(_F32)
+        fh, fl = _split(fmid)
+        xr = _dot3(ah, al, fh, fl, ((1,), (0,)))        # [RCc, W]
+        xrh, xrl = _split(xr)
+        coefs = col_fwd(xrh, xrl)                        # [RCc, WC]
+
+        # in-kernel clamp bounds (jpeg.c:86, compute.c:323-331):
+        # q == 0 freezes canvas padding at 0, q >= 2^39 (FREE) leaves
+        # region-gap coefficients unconstrained — same algebra as
+        # kernels/iter_step.py:433-437
+        q = q_t[c0:c0 + RCc, :]
+        dq = dat_t[c0:c0 + RCc, :].astype(_F32) * q
+        hq = 0.5 * q
+        clamped = jnp.clip(coefs, dq - hq, dq + hq)
+        dc = col_bwd(clamped - coefs)                    # [RCc, W]
+        dch, dcl = _split(dc)
+        back = _dot3(ah, al, dch, dcl, ((0,), (0,)))     # [RC, W]
+        fnew = fmid + ss * back
+        out_t[p0:p0 + RC, :] = fnew
+        dn_t[p0:p0 + RC, :] = (fnew - fv).astype(_BF16)
+
+        if with_prob:
+            iq = jnp.where((q > 0.0) & (q < _FREE_Q_MIN), 1.0 / q, 0.0)
+            devp = (clamped - dq) * iq
+            acc[dist_slot] = acc[dist_slot] + 0.5 * jnp.sum(devp * devp)
+            dq_out_t[c0:c0 + RCc, :] = (devp * iq).astype(_BF16)
+
+
+def _kernel_multi_lite(scales_ref, *refs, H, W, SH, samps, prob_mask,
+                       nstripes):
+    """refs layout (C channels, P = sum(prob_mask)):
+    in, per channel: f, d, g, ah, al, bh, bl, dat (i16), q (f32)
+    out: C x fnew (f32), C x dnew (bf16), P x devq (bf16), dist (8,128)
+        when P > 0
+    scratch, per channel: f_t, d_t, g_t, ab x4, dat_t, q_t, out_t,
+        dn_t, [dq_out_t], cf_t, dc_t; then dist_t when P, acc SMEM,
+        sem DMA.
+
+    scales_ref: (C+1,) scalar prefetch — [scale_c ...] + [factor].
+    """
+    C = len(samps)
+    n_prob = sum(prob_mask)
+    it = iter(refs)
+    ins = [[next(it) for _ in range(9)] for _ in range(C)]
+    fnew_hbms = [next(it) for _ in range(C)]
+    dnew_hbms = [next(it) for _ in range(C)]
+    dq_hbms = [next(it) for _ in range(n_prob)]
+    dist_hbm = next(it) if n_prob else None
+    scr = [[next(it) for _ in range(14 if prob_mask[c] else 13)]
+           for c in range(C)]
+    dist_t = next(it) if n_prob else None
+    acc = next(it)
+    sem = next(it)
+
+    i = pl.program_id(0)
+    r0 = pl.multiple_of(i * SH, 16)
+    factor = scales_ref[C]
+
+    @pl.when(i == 0)
+    def _():
+        cps = []
+        for c in range(C):
+            for j in range(3, 7):     # ah, al, bh, bl
+                cp = pltpu.make_async_copy(ins[c][j], scr[c][j],
+                                           sem.at[6])
+                cp.start()
+                cps.append(cp)
+        for cp in cps:
+            cp.wait()
+        for j in range(8):
+            acc[j] = jnp.float32(0.0)
+
+    cps = []
+    for c in range(C):
+        sy, _ = samps[c]
+        SR = SH // sy
+        cr0 = pl.multiple_of(i * SR, 16)
+        for j, si in ((0, 0), (1, 1), (2, 2)):       # f, d, g stripes
+            cp = pltpu.make_async_copy(
+                ins[c][j].at[pl.ds(r0, SH), :], scr[c][j], sem.at[si])
+            cp.start()
+            cps.append(cp)
+        for j, si in ((7, 3), (8, 4)):               # dat, q
+            cp = pltpu.make_async_copy(
+                ins[c][j].at[pl.ds(cr0, SR), :], scr[c][j],
+                sem.at[si])
+            cp.start()
+            cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    pi = 0
+    out_cps = []
+    for c in range(C):
+        sy, sx = samps[c]
+        SR = SH // sy
+        cr0 = pl.multiple_of(i * SR, 16)
+        WC = W // sx
+        RC, TC = _chunks(H, W, SH, sy, sx)
+        with_prob = bool(prob_mask[c])
+        out_t = scr[c][9]
+        dn_t = scr[c][10]
+        if with_prob:
+            dq_out_t, cf_t, dc_t = scr[c][11], scr[c][12], scr[c][13]
+        else:
+            dq_out_t = None
+            cf_t, dc_t = scr[c][11], scr[c][12]
+
+        _stripe_math_lite(
+            scales_ref[c], factor, scr[c][0], scr[c][1], scr[c][2],
+            scr[c][7], scr[c][8], out_t, dn_t, dq_out_t, cf_t, dc_t,
+            scr[c][3][:, :], scr[c][4][:, :],
+            scr[c][5][:, :], scr[c][6][:, :],
+            acc, pi,
+            SH=SH, W=W, WC=WC, sy=sy, sx=sx, RC=RC, TC=TC,
+            with_prob=with_prob)
+
+        cpo = pltpu.make_async_copy(
+            out_t, fnew_hbms[c].at[pl.ds(r0, SH), :], sem.at[0])
+        cpo.start()
+        out_cps.append(cpo)
+        cpd = pltpu.make_async_copy(
+            dn_t, dnew_hbms[c].at[pl.ds(r0, SH), :], sem.at[1])
+        cpd.start()
+        out_cps.append(cpd)
+        if with_prob:
+            cpq = pltpu.make_async_copy(
+                dq_out_t, dq_hbms[pi].at[pl.ds(cr0, SR), :], sem.at[2])
+            cpq.start()
+            out_cps.append(cpq)
+            pi += 1
+
+    if n_prob:
+        @pl.when(i == nstripes - 1)
+        def _():
+            vals = jnp.stack([acc[j] for j in range(8)])
+            dist_t[:, :] = jnp.broadcast_to(vals[:, None], (8, 128))
+            cpd2 = pltpu.make_async_copy(dist_t, dist_hbm, sem.at[5])
+            cpd2.start()
+            cpd2.wait()
+
+    for cp in out_cps:
+        cp.wait()
+
+
+def _pick_stripe_multi_lite(h: int, w: int, samps) -> int:
+    """Largest SH dividing h with 16-aligned slices for every channel
+    (bf16/int16 HBM tiles are (16, 128)-packed: pixel slices need
+    SH % 16, coef slices SH % (16*sy)) and every channel's scratch
+    resident at once.
+
+    Tall stripes are deliberate: the grid is DMA-descriptor-bound
+    (per-grid-step descriptor builds dominate at large canvases — the
+    hbm_iter lesson, CLAUDE.md), and the projection walks each stripe
+    in 128-row chunks internally so the matmul tile sizes don't grow
+    with SH."""
+    import math as _math
+
+    budget = 64 * 1024 * 1024
+    unit = 16
+    for sy, _ in samps:
+        unit = _math.lcm(unit, 16 * sy)
+    C = len(samps)
+    for sh in (512, 256, 128, 64, 32, 16):
+        if sh % unit or h % sh:
+            continue
+        # f32 f/out/cf/dc + bf16 d/g/dn ~ 14 B/px + coef tiles
+        if C * 16 * sh * w <= budget:
+            return sh
+    return 0
+
+
+def supports_multi_lite(H: int, W: int, samps) -> bool:
+    """Geometry gate for the lite one-call multi-channel projection."""
+    if H % 16:
+        return False
+    if any(not supports(H, W, sy, sx) for sy, sx in samps):
+        return False
+    return _pick_stripe_multi_lite(H, W, samps) != 0
+
+
+def fused_project_multi_lite(fdatas, ds, grads, factor, scales,
+                             datas_i16, q_rs, pa_sss, samps):
+    """All channels' lite normalized-step + projection in one call.
+
+    Args:
+        fdatas: per-channel [H, W] f32 iterates (shared canvas).
+        ds: per-channel [H, W] bf16 FISTA differences.
+        grads: per-channel [H, W] bf16 gradients (fused_grad_lite).
+        factor: traced scalar FISTA extrapolation factor.
+        scales: [C] traced step_size/norm vector.
+        datas_i16: per-channel [H//sy, W//sx] int16 coefficient
+            rasters (zero in padding).
+        q_rs: per-channel [H//sy, W//sx] f32 quant rasters — 0 in
+            frozen canvas padding, >= 2^40 (FREE) in region gaps.
+        pa_sss: per-channel static p_alpha*sy*sx (0 = prob off).
+        samps: per-channel (sy, sx).
+    Returns:
+        (fnews f32 list, dnews bf16 list, devqs list with None for
+         prob-off channels, dists [C] — 0.0 where prob off).
+    """
+    C = len(fdatas)
+    H, W = fdatas[0].shape
+    prob_mask = tuple(p != 0.0 for p in pa_sss)
+    n_prob = sum(prob_mask)
+    SH = _pick_stripe_multi_lite(H, W, samps)
+    assert SH, (H, W, samps)
+    nstripes = H // SH
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    operands = []
+    scratch = []
+    for c, (sy, sx) in enumerate(samps):
+        SR = SH // sy
+        WC = W // sx
+        RC, TC = _chunks(H, W, SH, sy, sx)
+        RCc = RC // sy
+        TCs = TC * sx
+        ah, al_, bh, bl_ = _ab_tiles(RC, sy, TC, sx)
+        operands += [fdatas[c], ds[c], grads[c],
+                     jnp.asarray(ah), jnp.asarray(al_),
+                     jnp.asarray(bh), jnp.asarray(bl_),
+                     datas_i16[c], q_rs[c]]
+        scratch += [
+            pltpu.VMEM((SH, W), _F32),           # f_t
+            pltpu.VMEM((SH, W), _BF16),          # d_t
+            pltpu.VMEM((SH, W), _BF16),          # g_t
+            pltpu.VMEM((RCc, RC), _BF16),        # ah_t
+            pltpu.VMEM((RCc, RC), _BF16),        # al_t
+            pltpu.VMEM((TC, TCs), _BF16),        # bh_t
+            pltpu.VMEM((TC, TCs), _BF16),        # bl_t
+            pltpu.VMEM((SR, WC), jnp.int16),     # dat_t
+            pltpu.VMEM((SR, WC), _F32),          # q_t
+            pltpu.VMEM((SH, W), _F32),           # out_t
+            pltpu.VMEM((SH, W), _BF16),          # dn_t
+        ]
+        if prob_mask[c]:
+            scratch += [pltpu.VMEM((SR, WC), _BF16)]  # dq_out_t
+        scratch += [
+            pltpu.VMEM((RCc, WC), _F32),         # cf_t
+            pltpu.VMEM((RCc, W), _F32),          # dc_t
+        ]
+    if n_prob:
+        scratch += [pltpu.VMEM((8, 128), _F32)]  # dist_t
+    scratch += [
+        pltpu.SMEM((8,), _F32),
+        pltpu.SemaphoreType.DMA((8,)),
+    ]
+
+    n_out = 2 * C + n_prob + (1 if n_prob else 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nstripes,),
+        in_specs=[any_spec] * (9 * C),
+        out_specs=[any_spec] * n_out,
+        scratch_shapes=scratch,
+    )
+
+    hw = jax.ShapeDtypeStruct((H, W), _F32)
+    hwb = jax.ShapeDtypeStruct((H, W), _BF16)
+    out_shape = [hw] * C + [hwb] * C
+    for c in range(C):
+        if prob_mask[c]:
+            sy, sx = samps[c]
+            out_shape.append(jax.ShapeDtypeStruct(
+                (H // sy, W // sx), _BF16))
+    if n_prob:
+        out_shape += [jax.ShapeDtypeStruct((8, 128), _F32)]
+
+    scalars = jnp.concatenate([
+        jnp.asarray(scales, _F32).reshape(-1),
+        jnp.reshape(factor.astype(_F32), (1,)),
+    ])
+
+    kernel = functools.partial(
+        _kernel_multi_lite, H=H, W=W, SH=SH, samps=tuple(samps),
+        prob_mask=prob_mask, nstripes=nstripes)
+
+    # donate the carry canvases: f -> fnew and d -> dnew reuse the
+    # input buffers, eliminating XLA's per-iteration while-carry copies
+    # (~340 us/iter at 6.29 MP).  Input indices count the
+    # scalar-prefetch operand (index 0), so channel c's f is 1 + 9c.
+    aliases = {}
+    for c in range(C):
+        aliases[1 + 9 * c] = c          # f -> fnew
+        aliases[2 + 9 * c] = C + c      # d -> dnew
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(scalars, *operands)
+
+    fnews = list(outs[:C])
+    dnews = list(outs[C:2 * C])
+    dq_flat = list(outs[2 * C:2 * C + n_prob])
+    devqs = []
+    dists = []
+    pi = 0
+    for c in range(C):
+        if prob_mask[c]:
+            devqs.append(dq_flat[pi])
+            dists.append(outs[-1][pi, 0])
+            pi += 1
+        else:
+            devqs.append(None)
+            dists.append(jnp.float32(0.0))
+    return fnews, dnews, devqs, dists

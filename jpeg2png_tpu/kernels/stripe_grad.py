@@ -345,7 +345,7 @@ def fused_grad_striped(fdatas, fistas, pgrads, halos, factor, row0,
         _kernel, C=C, P=P, L=L, W=W, HT=int(h_true), WT=int(w_true),
         SH=SH, weight=float(weight), NS=NS, prob_mask=prob_mask)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
         pltpu.VMEM((C, T, W), _F32),
         pltpu.VMEM((C, T, W), _F32),

@@ -34,7 +34,8 @@ def _fingerprint(geoms, weight, pweights, iterations, use_pallas) -> str:
     # (coef-space devq / pixel-space pgrad / clamped cos), so a
     # checkpoint from another tier or an older format must be rejected
     # with the clear config-mismatch error, not silently reinterpreted
-    blob = repr(("carry-v2", active_tier(geoms, use_pallas),
+    blob = repr(("carry-v2",
+                 active_tier(geoms, use_pallas, tuple(pweights)),
                  geoms, weight, tuple(pweights), iterations,
                  use_pallas)).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
@@ -78,6 +79,17 @@ def save_state(path, carry, iteration: int, fingerprint: str) -> None:
     # then writes the file (shared-filesystem model, like every JAX
     # multihost checkpointing scheme; resume reads it on all ranks)
     arrays = {f"leaf_{i}": _to_host(x) for i, x in enumerate(leaves)}
+    # np.savez cannot round-trip ml_dtypes bfloat16 (the two-lite /
+    # mega-lite carries): store those bit-exactly as uint16 views plus
+    # a mask, and view them back on load
+    import ml_dtypes
+    bf16_mask = np.zeros(len(leaves), dtype=bool)
+    for i in range(len(leaves)):
+        a = arrays[f"leaf_{i}"]
+        if a.dtype == ml_dtypes.bfloat16:
+            arrays[f"leaf_{i}"] = a.view(np.uint16)
+            bf16_mask[i] = True
+    arrays["_bf16_mask"] = bf16_mask
     if not is_primary():
         barrier("jpeg2png-ckpt-save")
         return
@@ -120,10 +132,16 @@ def load_state(path, fingerprint: str):
                 f"(saved {saved_fp}, current {fingerprint})")
         iteration = int(z["_iteration"])
         treedef = pickle.loads(bytes(z["_treedef"]))
+        bf16_mask = z["_bf16_mask"] if "_bf16_mask" in z else None
         leaves = []
         i = 0
         while f"leaf_{i}" in z:
-            leaves.append(z[f"leaf_{i}"])
+            a = z[f"leaf_{i}"]
+            if bf16_mask is not None and bf16_mask[i]:
+                import ml_dtypes
+
+                a = a.view(ml_dtypes.bfloat16)
+            leaves.append(a)
             i += 1
     return jax.tree.unflatten(treedef, leaves), iteration
 

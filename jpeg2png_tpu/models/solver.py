@@ -467,6 +467,51 @@ def _build_solver_impl(
 
             return body
 
+        def make_body_pallas_lite(W2, dat2, q2, pa_sss):
+            """LITE two-kernel body: bf16 side state (FISTA difference,
+            gradient, coef-space devq carry) and in-kernel clamp bounds
+            from int16+quant rasters — the mega-lite scheme applied to
+            the per-iteration pipeline (kernels/project_step.py lite
+            rationale).  Cuts per-iteration HBM traffic ~1.8x vs the
+            f32 body; the iterate stays f32.
+
+            Carry: (f tuple f32, d tuple bf16 = f - fista,
+            devq tuple bf16 per prob channel, prob_dist, t).
+            """
+            from jpeg2png_tpu.kernels import project_step
+            from jpeg2png_tpu.kernels.grad_step import fused_grad_lite
+
+            samp_l = [(g.h_samp, g.w_samp) for g in geoms]
+
+            def body(carry, _):
+                fdatas, dds, devqs, prob_dist, t = carry
+                tnext, factor = fista_factor(t)
+                grads, sumsq, tv, tv2 = fused_grad_lite(
+                    list(fdatas), list(dds), list(devqs), factor,
+                    weight, samp_l, pa_sss, h_true=H, w_true=W)
+                norms = jnp.sqrt(sumsq)
+                scale = jnp.where(norms == 0.0, 0.0, step_size / norms)
+                fnews, dnews, devq_news, dists = (
+                    project_step.fused_project_multi_lite(
+                        list(fdatas), list(dds), grads, factor, scale,
+                        dat2, q2, pa_sss, samp_l))
+                prob_dist_next = jnp.float32(0.0)
+                for c in range(len(geoms)):
+                    d = dists[c]
+                    if pa_sss[c] != 0.0 and not simd_compat_logging:
+                        d = p_alphas[c] * d
+                    prob_dist_next = prob_dist_next + d
+                objective = ((tv + tv2 + prob_dist)
+                             / jnp.float32(total_alpha))
+                metrics = jnp.stack([objective, prob_dist, tv, tv2])
+                carry_out = (tuple(fnews), tuple(dnews),
+                             tuple(dv for dv in devq_news
+                                   if dv is not None),
+                             prob_dist_next, tnext)
+                return carry_out, metrics
+
+            return body
+
         if use_pallas:
             from jpeg2png_tpu.kernels import iter_step
             from jpeg2png_tpu.kernels.grad_step import (
@@ -534,6 +579,80 @@ def _build_solver_impl(
                 and all(_proj.supports(H, W2, g.h_samp, g.w_samp)
                         and H % g.h_samp == 0
                         for g in geoms))
+            if two_ok:
+                import math as _math
+
+                from jpeg2png_tpu.kernels.grad_step import (
+                    supports_lite as _grad_lite_ok)
+
+                pa_sss = tuple(
+                    p_alphas[c] * g.h_samp * g.w_samp
+                    for c, g in enumerate(geoms))
+                prob_mask_l = tuple(p != 0.0 for p in pa_sss)
+                # bf16/int16 HBM tiles are (16, 128)-packed, so the
+                # lite canvas is H-padded to 16*sy alignment with
+                # frozen q == 0 rows — the same mechanism as the W2
+                # column padding
+                unit_h = 16
+                for g in geoms:
+                    unit_h = _math.lcm(unit_h, 16 * g.h_samp)
+                H2 = -(-H // unit_h) * unit_h
+                lite_ok = (
+                    _grad_lite_ok(nchannel, H2, W2, samp_list,
+                                  prob_mask_l)
+                    and _proj.supports_multi_lite(H2, W2, samp_list)
+                    and H2 * W2 <= 2 * H * W)
+            else:
+                lite_ok = False
+            if lite_ok:
+                # LITE tier: int16 + quant rasters with the mega
+                # kernel's padding algebra (q == 0 freezes canvas
+                # padding, q >= 2^39 FREE leaves region gaps
+                # unconstrained — kernels/iter_step.py:433-458)
+                FREE_Q = jnp.float32(2.0 ** 40)
+                dat2, q2 = [], []
+                for c, g in enumerate(geoms):
+                    hc_t, wc_t = data_i16_rs[c].shape
+                    hc, wc = H // g.h_samp, W // g.w_samp
+                    hc_p, wc_p = H2 // g.h_samp, W2 // g.w_samp
+                    d = data_i16_rs[c]
+                    qq = q_rs[c]
+                    if (hc_t, wc_t) != (hc, wc):
+                        pad = ((0, hc - hc_t), (0, wc - wc_t))
+                        d = jnp.pad(d, pad)
+                        qq = jnp.pad(qq, pad, constant_values=FREE_Q)
+                    if (hc_p, wc_p) != (hc, wc):
+                        padhw = ((0, hc_p - hc), (0, wc_p - wc))
+                        d = jnp.pad(d, padhw)
+                        qq = jnp.pad(qq, padhw)  # q 0: frozen at 0
+                    dat2.append(d)
+                    q2.append(qq)
+                # pin the padded rasters: XLA while-loop constant
+                # sinking would otherwise re-materialize the pads
+                # inside the scan (the round-3 striped-path lesson)
+                dat2, q2 = jax.lax.optimization_barrier((dat2, q2))
+                if carry_in is None:
+                    f0s = tuple(
+                        jnp.pad(f0[c], ((0, H2 - H), (0, W2 - W)))
+                        if (H2, W2) != (H, W) else f0[c]
+                        for c in range(len(geoms)))
+                    d0 = tuple(
+                        jnp.zeros((H2, W2), jnp.bfloat16)
+                        for _ in range(len(geoms)))
+                    dq0 = tuple(
+                        jnp.zeros((H2 // g.h_samp, W2 // g.w_samp),
+                                  jnp.bfloat16)
+                        for c, g in enumerate(geoms)
+                        if p_alphas[c] != 0.0)
+                    carry_in = (f0s, d0, dq0, jnp.float32(0.0),
+                                jnp.asarray(1.0, f32))
+                body = make_body_pallas_lite(W2, dat2, q2, pa_sss)
+                carry_out, metrics = jax.lax.scan(
+                    body, carry_in, None, length=nsteps)
+                fdata = jnp.stack(carry_out[0])
+                if (H2, W2) != (H, W):
+                    fdata = fdata[:, :H, :W]
+                return fdata, metrics, carry_out
             if two_ok:
                 BIG = jnp.float32(2.0 ** 39)
                 los2, his2, dqs2, iqs2 = [], [], [], []
@@ -618,13 +737,20 @@ def _build_solver(
 
 
 def active_tier(geoms: Tuple[ChannelGeometry, ...],
-                use_pallas: bool) -> str:
+                use_pallas: bool,
+                pweights: Tuple[float, ...] | None = None) -> str:
     """Which solver tier (and therefore carry pytree format) solve_impl
-    will pick: 'mega' (whole-solve kernel, coef-space devq carry), 'two'
-    (two-kernel pipeline, [H, W2] pixel-space pgrad carry) or 'xla'
+    will pick: 'mega' (whole-solve kernel, coef-space devq carry),
+    'two-lite' (bf16-state pipeline, coef-space devq carry), 'two'
+    (f32 two-kernel pipeline, [H, W2] pixel-space pgrad carry) or 'xla'
     ([C, H, W] stack + clamped-DCT cos carry).  Mirrors solve_impl's
     gating exactly; checkpoint fingerprints include this so a carry
-    written by one tier is never reinterpreted by another."""
+    written by one tier is never reinterpreted by another.
+
+    The two-lite gate depends on which channels have the prob term
+    enabled (alignment constraints apply to their devq carries); pass
+    `pweights` for an exact answer — None assumes all enabled (the
+    default CLI configuration)."""
     if not use_pallas:
         return "xla"
     from jpeg2png_tpu.kernels import grad_step, iter_step, project_step
@@ -641,6 +767,21 @@ def active_tier(geoms: Tuple[ChannelGeometry, ...],
             and grad_step.supports(len(geoms), H, W2)
             and all(project_step.supports(H, W2, sy, sx) and H % sy == 0
                     for sy, sx in samps)):
+        import math as _math
+
+        if pweights is None:
+            prob_mask = tuple(True for _ in geoms)
+        else:
+            prob_mask = tuple(p != 0.0 for p in pweights)
+        unit_h = 16
+        for sy, _ in samps:
+            unit_h = _math.lcm(unit_h, 16 * sy)
+        H2 = -(-H // unit_h) * unit_h
+        if (grad_step.supports_lite(len(geoms), H2, W2, samps,
+                                    prob_mask)
+                and project_step.supports_multi_lite(H2, W2, samps)
+                and H2 * W2 <= 2 * H * W):
+            return "two-lite"
         return "two"
     return "xla"
 
