@@ -46,9 +46,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from jpeg2png_tpu.kernels.grad_step import (
-    _cols2d, _roll, _rows2d, _shift_x, _shift_y)
+    _cols2d, _roll, _rows2d, _shift_x, _shift_y, _stencil_terms)
 
 _F32 = jnp.float32
+_BF16 = jnp.bfloat16
 
 
 def _kernel(
@@ -389,3 +390,366 @@ def fused_grad_striped(fdatas, fistas, pgrads, halos, factor, row0,
     tv = partials[C, 0]
     tv2 = partials[C + 1, 0]
     return grads, extraps, sumsq, tv, tv2
+
+
+def _kernel_lite(
+    factor_ref,            # scalar-prefetch (1,) f32 FISTA factor
+    row0_ref,              # scalar-prefetch (1,) i32 global band row
+    *refs,
+    C, P, L, W, H2, HT, WT, SH, weight, NS, prob_mask, samps,
+    p_alpha_sss,
+):
+    """LITE striped variant: bf16 FISTA-difference state + coef-space
+    devq prob carry — the two-lite scheme (kernels/grad_step.py
+    _kernel_lite) with the striped kernel's halo-extended windows.
+    Per-channel band state is f (f32) and d = f - fista (bf16); the
+    prob term arrives as the previous projection's (clamped-dq)/q^2
+    coefficient carry (band-local rows) and is expanded to the
+    pixel-space gradient in-kernel (compute.c:38-70).  Gradients leave
+    in bf16 (subgradient-noise rationale: the iterate stays f32 in the
+    projection kernel).
+
+    bf16/int16 HBM tiles are (16, 128)-packed, so the halo is 16 rows
+    (stencil needs 2) and every DMA row slice is 16-aligned: L % SH,
+    SH % 16, and SH % (16*sy) for the devq slices of prob channels.
+    Unlike grad_step's single-chip lite kernel there is no partial
+    last stripe — the striped canvas pads to full bands.
+
+    refs layout:
+    in:  C x f [L,W] f32, C x d [L,W] bf16, P x devq [L/sy,Wc] bf16,
+         4*n_samp ab tiles, C x f_top [16,W] f32, C x f_bot,
+         C x d_top [16,W] bf16, C x d_bot
+    out: C x grad [L,W] bf16, partials (8,128)
+    scratch: f_t [C,T,W] f32, d_t [C,T,W] bf16, P x dq_t [SR,Wc] bf16,
+         ab VMEMs, dc_t [SH,W] f32, g_out [C,SH,W] bf16, part_out,
+         acc SMEM (8,), sem DMA (8,).
+    """
+    from jpeg2png_tpu.kernels.project_step import _dot3, _split
+
+    uniq = list(dict.fromkeys(
+        samps[c] for c in range(C) if prob_mask[c]))
+    n_samp = len(uniq)
+    it = iter(refs)
+    f_hbms = [next(it) for _ in range(C)]
+    d_hbms = [next(it) for _ in range(C)]
+    dq_hbms = [next(it) for _ in range(P)]
+    ab_hbms = [next(it) for _ in range(4 * n_samp)]
+    ftop_hbms = [next(it) for _ in range(C)]
+    fbot_hbms = [next(it) for _ in range(C)]
+    dtop_hbms = [next(it) for _ in range(C)]
+    dbot_hbms = [next(it) for _ in range(C)]
+    grad_hbms = [next(it) for _ in range(C)]
+    partial_hbm = next(it)
+    f_t = next(it)
+    d_t = next(it)
+    dq_ts = [next(it) for _ in range(P)]
+    ab_ts = [next(it) for _ in range(4 * n_samp)]
+    dc_t = next(it)
+    g_out = next(it)
+    part_out = next(it)
+    acc = next(it)
+    sem = next(it)
+
+    k = pl.program_id(0)
+    T = SH + 32
+    r0 = pl.multiple_of(k * SH, 16)
+    factor = factor_ref[0]
+    row0 = row0_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        cps = []
+        for src, dst in zip(ab_hbms, ab_ts):
+            cp = pltpu.make_async_copy(src, dst, sem.at[6])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+        for j in range(8):
+            acc[j] = jnp.float32(0.0)
+
+    # ---- stage the halo-extended window [r0-16, r0+SH+16) ----
+    # band-interior rows from f/d; the 16 rows past either band edge
+    # from the ppermuted halo arrays (kernels/stripe_grad._kernel
+    # staging pattern, 16-row halos for the bf16 tiling)
+    def run_dmas(specs):
+        cps = []
+        for src, dst, si in specs:
+            cp = pltpu.make_async_copy(src, dst, sem.at[si])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+    def prob_specs():
+        out = []
+        for pi, c in enumerate([c for c in range(C) if prob_mask[c]]):
+            sy = samps[c][0]
+            sr = SH // sy
+            out.append((dq_hbms[pi].at[pl.ds(k * sr, sr), :],
+                        dq_ts[pi], 2))
+        return out
+
+    if NS == 1:
+        specs = []
+        for c in range(C):
+            specs += [
+                (ftop_hbms[c], f_t.at[c, pl.ds(0, 16), :], 0),
+                (f_hbms[c], f_t.at[c, pl.ds(16, SH), :], 0),
+                (fbot_hbms[c], f_t.at[c, pl.ds(16 + SH, 16), :], 0),
+                (dtop_hbms[c], d_t.at[c, pl.ds(0, 16), :], 1),
+                (d_hbms[c], d_t.at[c, pl.ds(16, SH), :], 1),
+                (dbot_hbms[c], d_t.at[c, pl.ds(16 + SH, 16), :], 1),
+            ]
+        run_dmas(specs + prob_specs())
+    else:
+        @pl.when(k == 0)
+        def _():
+            specs = []
+            for c in range(C):
+                specs += [
+                    (ftop_hbms[c], f_t.at[c, pl.ds(0, 16), :], 0),
+                    (f_hbms[c].at[pl.ds(0, SH + 16), :],
+                     f_t.at[c, pl.ds(16, SH + 16), :], 0),
+                    (dtop_hbms[c], d_t.at[c, pl.ds(0, 16), :], 1),
+                    (d_hbms[c].at[pl.ds(0, SH + 16), :],
+                     d_t.at[c, pl.ds(16, SH + 16), :], 1),
+                ]
+            run_dmas(specs + prob_specs())
+
+        if NS > 2:
+            @pl.when((k > 0) & (k < NS - 1))
+            def _():
+                start = pl.multiple_of(r0 - 16, 16)
+                specs = []
+                for c in range(C):
+                    specs += [
+                        (f_hbms[c].at[pl.ds(start, T), :], f_t.at[c], 0),
+                        (d_hbms[c].at[pl.ds(start, T), :], d_t.at[c], 1),
+                    ]
+                run_dmas(specs + prob_specs())
+
+        @pl.when(k == NS - 1)
+        def _():
+            start = pl.multiple_of(r0 - 16, 16)
+            specs = []
+            for c in range(C):
+                specs += [
+                    (f_hbms[c].at[pl.ds(start, SH + 16), :],
+                     f_t.at[c, pl.ds(0, SH + 16), :], 0),
+                    (fbot_hbms[c], f_t.at[c, pl.ds(SH + 16, 16), :], 0),
+                    (d_hbms[c].at[pl.ds(start, SH + 16), :],
+                     d_t.at[c, pl.ds(0, SH + 16), :], 1),
+                    (dbot_hbms[c], d_t.at[c, pl.ds(SH + 16, 16), :], 1),
+                ]
+            run_dmas(specs + prob_specs())
+
+    # ---- stencil on the halo-extended window ----
+    # window row i is band row (r0 - 16 + i), global row row0 + that
+    rows = _rows2d(row0 + r0 - 16, T, W)
+    cols = _cols2d(T, W)
+    own_rows = slice(16, 16 + SH)
+    win_r = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
+    own = (win_r >= 16) & (win_r < 16 + SH)
+
+    fl = [None] * C
+    for c in range(C):
+        fl[c] = (f_t[c, :, :]
+                 + factor * d_t[c, :, :].astype(jnp.float32))
+
+    grad, tv_c, tv2_c = _stencil_terms(
+        fl, rows, cols, HT, WT, H2, W, weight, own)
+    acc[C] = acc[C] + tv_c
+    if tv2_c is not None:
+        acc[C + 1] = acc[C + 1] + tv2_c
+
+    # ---- own-rows extraction + devq expansion + bf16 writeback ----
+    rows_own = (jax.lax.broadcasted_iota(jnp.int32, (SH, W), 0)
+                + (row0 + r0))
+    cols_own = jax.lax.broadcasted_iota(jnp.int32, (SH, W), 1)
+    pad_mask = (rows_own < HT) & (cols_own < WT)
+
+    prob_idx = {}
+    pi = 0
+    for c in range(C):
+        if prob_mask[c]:
+            prob_idx[c] = pi
+            pi += 1
+    samp_slot = {s: j for j, s in enumerate(uniq)}
+
+    for c in range(C):
+        g_own = jnp.where(pad_mask, grad[c][own_rows, :], 0.0)
+        if c in prob_idx:
+            # coef-space devq -> pixel-space prob gradient
+            # (compute.c:38-70: alpha * idct(dev/q^2) replicated) —
+            # identical to grad_step._kernel_lite's expansion; devq is
+            # already bf16 so its (hi, lo) split has an exactly-zero
+            # lo and the column pass needs only 2 MXU passes
+            sy, sx = samps[c]
+            sr = SH // sy
+            wc = W // sx
+            kk = samp_slot[samps[c]]
+            ah = ab_ts[4 * kk][:, :]
+            al_ = ab_ts[4 * kk + 1][:, :]
+            bh = ab_ts[4 * kk + 2][:, :]
+            bl_ = ab_ts[4 * kk + 3][:, :]
+            x = dq_ts[prob_idx[c]][:, :]
+            TCs = 128 * sx
+            for tc in range(wc // 128):
+                xs = x[:, tc * 128:(tc + 1) * 128]
+                dn = (((1,), (0,)), ((), ()))
+                dc_t[:sr, tc * TCs:(tc + 1) * TCs] = (
+                    jax.lax.dot_general(
+                        xs, bh, dn,
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        xs, bl_, dn,
+                        preferred_element_type=jnp.float32))
+            ddh, ddl = _split(dc_t[:sr, :])
+            pg = _dot3(ah, al_, ddh, ddl, ((0,), (0,)))
+            g_own = g_own + p_alpha_sss[c] * pg
+        g_out[c, :, :] = g_own.astype(_BF16)
+        acc[c] = acc[c] + jnp.sum(g_own * g_own)
+
+    run_dmas([(g_out.at[c], grad_hbms[c].at[pl.ds(r0, SH), :], 3)
+              for c in range(C)])
+
+    @pl.when(k == NS - 1)
+    def _():
+        vals = jnp.stack([acc[j] for j in range(8)])
+        part_out[:, :] = jnp.broadcast_to(vals[:, None], (8, 128))
+        cpp = pltpu.make_async_copy(part_out, partial_hbm, sem.at[5])
+        cpp.start()
+        cpp.wait()
+
+
+def _pick_stripe_lite(L: int, W: int, C: int, samps, prob_mask) -> int:
+    """Largest SH dividing L with 16-aligned bf16 DMA slices for every
+    channel (SH % 16; SH % (16*sy) for prob channels' devq slices),
+    under the VMEM budget and the wide-lane 64-row stencil cap."""
+    budget = 48 * 1024 * 1024
+    cap = 64 if W > 1024 else 256
+    unit = 16
+    for (sy, _), pm in zip(samps, prob_mask):
+        if pm:
+            unit = math.lcm(unit, 16 * sy)
+    for sh in (256, 128, 64, 32, 16):
+        if sh > cap or L % sh or sh % unit:
+            continue
+        # f32 f/dc_t + bf16 d/g_out tiles
+        if (C * (6 * (sh + 32) + 2 * sh) * W + 4 * sh * W) <= budget:
+            return sh
+    return 0
+
+
+def supports_lite(C: int, L: int, W: int, samps, prob_mask) -> bool:
+    """Geometry gate for the lite striped gradient kernel."""
+    if L % 16 or W % 128:
+        return False
+    for (sy, sx), pm in zip(samps, prob_mask):
+        if pm and ((W // sx) % 128 or W % sx or L % (16 * sy)):
+            return False
+    return _pick_stripe_lite(L, W, C, samps, prob_mask) != 0
+
+
+def fused_grad_striped_lite(fdatas, ds, devqs, halos, factor, row0,
+                            weight: float, samps, p_alpha_sss,
+                            h_pad: int, h_true: int, w_true: int):
+    """Lite fused extrapolation + TV/TGV2 gradient for one band.
+
+    Args:
+        fdatas: per-channel [L, W] f32 band iterates.
+        ds: per-channel [L, W] bf16 FISTA differences d = f - fista.
+        devqs: per-PROB-channel [L//sy, W//sx] bf16 coefficient-space
+            (clamped-dq)/q^2 carries from the previous projection.
+        halos: (f_tops, f_bots, d_tops, d_bots) — per-channel lists of
+            [16, W] halo rows from the neighbouring bands (f in f32,
+            d in bf16; zeros at the global image boundary).
+        factor: traced scalar FISTA extrapolation factor.
+        row0: traced int32 global row of the band's first row.
+        weight: static TGV2 weight.
+        samps: per-channel (sy, sx).
+        p_alpha_sss: per-channel static p_alpha*sy*sx (0 = prob off).
+        h_true, w_true: static TRUE canvas extents (global).
+    Returns:
+        (grads list of [L, W] bf16, sumsq_local [C], tv_local,
+         tv2_local) — partials are LOCAL; psum them.  No extraps
+        output: the lite projection recomputes the extrapolation from
+        (f, d, factor) in-kernel.
+    """
+    from jpeg2png_tpu.kernels.project_step import _ab_tiles
+
+    C = len(fdatas)
+    L, W = fdatas[0].shape
+    prob_mask = tuple(pa != 0.0 for pa in p_alpha_sss)
+    P = sum(prob_mask)
+    SH = _pick_stripe_lite(L, W, C, samps, prob_mask)
+    assert SH, (L, W)
+    NS = L // SH
+    T = SH + 32
+    f_tops, f_bots, d_tops, d_bots = halos
+
+    uniq = list(dict.fromkeys(
+        samps[c] for c in range(C) if prob_mask[c]))
+    ab_consts = []
+    ab_shapes = []
+    for (sy, sx) in uniq:
+        for m in _ab_tiles(SH, sy, 128, sx):
+            ab_consts.append(jnp.asarray(m))
+            ab_shapes.append(m.shape)
+
+    kernel = functools.partial(
+        _kernel_lite, C=C, P=P, L=L, W=W, H2=int(h_pad),
+        HT=int(h_true), WT=int(w_true), SH=SH,
+        weight=float(weight), NS=NS,
+        prob_mask=prob_mask, samps=tuple(samps),
+        p_alpha_sss=tuple(float(p) for p in p_alpha_sss))
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        pltpu.VMEM((C, T, W), _F32),         # f_t
+        pltpu.VMEM((C, T, W), _BF16),        # d_t
+    ]
+    for c in range(C):
+        if prob_mask[c]:
+            sy, sx = samps[c]
+            scratch.append(
+                pltpu.VMEM((SH // sy, W // sx), _BF16))   # dq_t
+    for shp in ab_shapes:
+        scratch.append(pltpu.VMEM(shp, _BF16))
+    scratch += [
+        pltpu.VMEM((SH, W), _F32),           # dc_t (expansion)
+        pltpu.VMEM((C, SH, W), _BF16),       # g_out
+        pltpu.VMEM((8, 128), _F32),
+        pltpu.SMEM((8,), _F32),
+        pltpu.SemaphoreType.DMA((8,)),
+    ]
+
+    n_in = 2 * C + P + 4 * len(uniq) + 4 * C
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NS,),
+        in_specs=[any_spec] * n_in,
+        out_specs=[any_spec] * (C + 1),
+        scratch_shapes=scratch,
+    )
+
+    hwb = jax.ShapeDtypeStruct((L, W), _BF16)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[hwb] * C + [jax.ShapeDtypeStruct((8, 128), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(jnp.reshape(jnp.asarray(factor, _F32), (1,)),
+      jnp.reshape(jnp.asarray(row0, jnp.int32), (1,)),
+      *fdatas, *ds, *devqs, *ab_consts,
+      *f_tops, *f_bots, *d_tops, *d_bots)
+
+    grads = list(outs[:C])
+    partials = outs[C]
+    sumsq = partials[:C, 0]
+    tv = partials[C, 0]
+    tv2 = partials[C + 1, 0]
+    return grads, sumsq, tv, tv2

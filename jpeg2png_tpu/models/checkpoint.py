@@ -153,6 +153,23 @@ class CheckpointedResult:
     resumed_from: int
 
 
+def striped_fingerprint(geoms, n: int, use_pallas: bool,
+                        weight: float, pweights, iterations: int) -> str:
+    """Config fingerprint for striped snapshots.  Includes the stripe
+    count (a carry for another mesh width has differently padded
+    canvases) and the striped carry KIND — 'xla' / 'f32' / 'lite'
+    (parallel/stripes.striped_carry_kind) — so a snapshot from one
+    body is never reinterpreted by another."""
+    from jpeg2png_tpu.parallel.stripes import striped_carry_kind
+
+    blob = repr(("striped-carry-v2", int(n),
+                 striped_carry_kind(geoms, n, bool(use_pallas),
+                                    tuple(float(p) for p in pweights)),
+                 geoms, float(weight), tuple(pweights),
+                 int(iterations))).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 def solve_striped_checkpointed(
     datas,
     quants,
@@ -181,7 +198,8 @@ def solve_striped_checkpointed(
     import jax.numpy as jnp
 
     from jpeg2png_tpu.parallel.stripes import (
-        _build_striped, pallas_striped_supported, stripes_supported,
+        _build_striped, pallas_striped_lite_supported,
+        pallas_striped_supported, stripes_supported,
     )
 
     geoms = tuple(
@@ -194,13 +212,13 @@ def solve_striped_checkpointed(
             f"geometry {geoms} cannot be striped over {n} devices")
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
-                      and pallas_striped_supported(geoms, n))
-    # fingerprint includes the striped carry format AND the stripe
-    # count: a carry written for another mesh width has differently
-    # padded canvases and must be rejected, not reinterpreted
-    blob = repr(("striped-carry-v2", n, bool(use_pallas), geoms,
-                 float(weight), tuple(pweights), int(iterations))).encode()
-    fp = hashlib.sha256(blob).hexdigest()[:16]
+                      and (pallas_striped_supported(geoms, n)
+                           or pallas_striped_lite_supported(
+                               geoms, n,
+                               tuple(float(p) for p in pweights))))
+    fp = striped_fingerprint(geoms, n, bool(use_pallas),
+                             float(weight), tuple(pweights),
+                             int(iterations))
 
     key = (geoms, float(weight), tuple(float(p) for p in pweights),
            int(iterations), bool(simd_compat_logging), mesh,

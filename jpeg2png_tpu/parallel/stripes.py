@@ -78,6 +78,57 @@ def padded_striped_shape(
     return H, W, H2, W2, H2 // n
 
 
+def padded_striped_shape_lite(
+    geoms: Tuple[ChannelGeometry, ...], n: int,
+) -> Tuple[int, int, int, int, int]:
+    """padded_striped_shape for the LITE striped body: band heights
+    align to 16*lcm(h_samp) (bf16/int16 HBM tiles are (16, 128)-packed,
+    so every DMA row slice — including each channel's coefficient-
+    raster band — must be 16-aligned)."""
+    H, W = canvas_shape(geoms)
+    unit_h = 16 * _lcm(g.h_samp for g in geoms)
+    unit_w = 128 * _lcm(g.w_samp for g in geoms)
+    H2 = -(-H // (n * unit_h)) * (n * unit_h)
+    W2 = -(-W // unit_w) * unit_w
+    return H, W, H2, W2, H2 // n
+
+
+def pallas_striped_lite_supported(
+    geoms: Tuple[ChannelGeometry, ...], n: int,
+    pweights: Tuple[float, ...],
+) -> bool:
+    """Whether the LITE striped body (bf16 difference/gradient state +
+    coef-space devq carries, kernels/stripe_grad.fused_grad_striped_lite
+    + kernels/project_step.fused_project_multi_lite) covers this
+    geometry."""
+    from jpeg2png_tpu.kernels import project_step, stripe_grad
+
+    if not stripes_supported(geoms, n):
+        return False
+    H, W, H2, W2, L = padded_striped_shape_lite(geoms, n)
+    samps = [(g.h_samp, g.w_samp) for g in geoms]
+    prob_mask = tuple(p != 0.0 for p in pweights)
+    return (stripe_grad.supports_lite(len(geoms), L, W2, samps,
+                                      prob_mask)
+            and project_step.supports_multi_lite(L, W2, samps)
+            and H2 * W2 <= 2 * H * W)
+
+
+def striped_carry_kind(
+    geoms: Tuple[ChannelGeometry, ...], n: int, use_pallas: bool,
+    pweights: Tuple[float, ...],
+) -> str:
+    """Which striped carry format _build_striped will produce: 'xla' /
+    'f32' (f, fista, pixel-space pgrads) or 'lite' (f, bf16 d,
+    coef-space bf16 devqs).  Checkpoint fingerprints include this so a
+    snapshot from one body is never reinterpreted by another."""
+    if not use_pallas:
+        return "xla"
+    if pallas_striped_lite_supported(geoms, n, tuple(pweights)):
+        return "lite"
+    return "f32"
+
+
 def stripes_supported(geoms: Tuple[ChannelGeometry, ...], n: int) -> bool:
     """Whether this geometry can stripe over n devices at all (the
     padding algebra makes that nearly always true)."""
@@ -152,6 +203,249 @@ def _padded_consts(datas, quants, geoms, H, W, H2, W2):
     return dqs, los, his, iqs, jnp.stack(f0s)
 
 
+_FREE_Q = jnp.float32(2.0 ** 40)   # lite FREE sentinel (> 2^39 gate)
+
+
+def _padded_consts_lite(datas, quants, geoms, H, W, H2, W2):
+    """Lite const rasters: per-channel (dat int16, q f32) at padded
+    coefficient shape, plus the initial canvas f0 [C, H2, W2].
+
+    The quant raster encodes the three box zones in ONE array
+    (kernels/iter_step.py:433-458 algebra): real q in the true region,
+    q == 0 in frozen canvas padding, q >= 2^39 (FREE) over
+    region-to-canvas gaps — the projection kernel derives lo/hi/iq
+    from (dat, q) in-kernel."""
+    f32 = jnp.float32
+    dats, qs, f0s = [], [], []
+    for d, q, g in zip(datas, quants, geoms):
+        sy, sx = g.h_samp, g.w_samp
+        q_r = jnp.tile(q.astype(f32), (g.nby, g.nbx))
+        di = deblockify(d.astype(jnp.int16))
+        hc_t, wc_t = H // sy, W // sx
+        if di.shape != (hc_t, wc_t):
+            pad = ((0, hc_t - di.shape[0]), (0, wc_t - di.shape[1]))
+            di = jnp.pad(di, pad)
+            q_r = jnp.pad(q_r, pad, constant_values=_FREE_Q)
+        hc_p, wc_p = H2 // sy, W2 // sx
+        if (hc_p, wc_p) != (hc_t, wc_t):
+            pad = ((0, hc_p - hc_t), (0, wc_p - wc_t))
+            di = jnp.pad(di, pad)
+            q_r = jnp.pad(q_r, pad)      # q 0: frozen at 0
+        dats.append(di)
+        qs.append(q_r)
+        dec = upsample_nearest_clamped(
+            idct_raster(deblockify(d.astype(f32))
+                        * jnp.tile(q.astype(f32), (g.nby, g.nbx))),
+            sy, sx, H, W)
+        f0s.append(jnp.pad(dec, ((0, H2 - H), (0, W2 - W))))
+    return dats, qs, jnp.stack(f0s)
+
+
+def _build_striped_lite(
+    geoms: Tuple[ChannelGeometry, ...],
+    weight: float,
+    pweights: Tuple[float, ...],
+    iterations: int,
+    simd_compat_logging: bool,
+    mesh: Mesh,
+    nsteps: int,
+    batch: bool,
+):
+    """LITE striped solver body (see _build_striped for the contract):
+    bf16 FISTA-difference + gradient state, coef-space bf16 devq prob
+    carries, and in-kernel clamp boxes from int16 + quant rasters — the
+    two-lite HBM diet (kernels/grad_step._kernel_lite rationale)
+    applied per band.  Per iteration each device still issues exactly
+    THREE collectives: two batched halo ppermutes (f f32 + d-as-f32
+    slivers, 16 rows each for the bf16 DMA tiling) and the fused [C+3]
+    vector psum."""
+    nchannel = len(geoms)
+    n = mesh.shape["y"]
+    H, W, H2, W2, L = padded_striped_shape_lite(geoms, n)
+
+    radius = math.sqrt(float(H) * float(W)) / 2.0
+    step_size = radius / math.sqrt(1.0 + iterations)
+    p_alphas, total_alpha = objective_alphas(weight, pweights, nchannel)
+    samp_list = [(g.h_samp, g.w_samp) for g in geoms]
+    pa_sss = tuple(
+        p_alphas[c] * g.h_samp * g.w_samp if p_alphas[c] != 0.0 else 0.0
+        for c, g in enumerate(geoms))
+    prob_on = [p_alphas[c] != 0.0 for c in range(nchannel)]
+    n_prob = sum(prob_on)
+
+    up_perm = [(i, i + 1) for i in range(n - 1)]
+    down_perm = [(i + 1, i) for i in range(n - 1)]
+
+    def fista_factor(t):
+        tnext = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+        return tnext, (t - 1.0) / tnext
+
+    def shard_body(*args):
+        from jpeg2png_tpu.kernels import project_step
+        from jpeg2png_tpu.kernels.stripe_grad import (
+            fused_grad_striped_lite)
+
+        dats = args[0:nchannel]            # [L//sy, W2//sx] i16 band
+        qs = args[nchannel:2 * nchannel]
+        f_in = args[2 * nchannel]          # [C, L, W2] f32
+        d_in = args[2 * nchannel + 1]      # [C, L, W2] bf16
+        devq_in = args[2 * nchannel + 2:2 * nchannel + 2 + n_prob]
+        pd0 = args[2 * nchannel + 2 + n_prob]
+        t0 = args[2 * nchannel + 3 + n_prob]
+
+        idx = jax.lax.axis_index("y")
+        row0 = idx * L
+        f32 = jnp.float32
+
+        def body(carry, _):
+            fdatas, ds, devqs, prob_dist, t = carry
+            tnext, factor = fista_factor(t)
+
+            # --- 16-row halo exchange (bf16 DMA slices must be
+            #     16-aligned; f rides in f32, d upcast to f32 so all
+            #     channels share ONE payload per direction) ---
+            up_payload = jnp.concatenate(
+                [f[-16:, :] for f in fdatas]
+                + [d[-16:, :].astype(f32) for d in ds], axis=0)
+            down_payload = jnp.concatenate(
+                [f[:16, :] for f in fdatas]
+                + [d[:16, :].astype(f32) for d in ds], axis=0)
+            tops = jax.lax.ppermute(up_payload, "y", up_perm)
+            bots = jax.lax.ppermute(down_payload, "y", down_perm)
+            f_tops = [tops[16 * c:16 * c + 16, :]
+                      for c in range(nchannel)]
+            d_tops = [tops[16 * (nchannel + c):16 * (nchannel + c) + 16,
+                           :].astype(jnp.bfloat16)
+                      for c in range(nchannel)]
+            f_bots = [bots[16 * c:16 * c + 16, :]
+                      for c in range(nchannel)]
+            d_bots = [bots[16 * (nchannel + c):16 * (nchannel + c) + 16,
+                           :].astype(jnp.bfloat16)
+                      for c in range(nchannel)]
+
+            grads, sumsq_l, tv_l, tv2_l = fused_grad_striped_lite(
+                list(fdatas), list(ds), list(devqs),
+                (f_tops, f_bots, d_tops, d_bots),
+                factor, row0, weight, samp_list, pa_sss, H2, H, W)
+
+            # ONE fused [C+3] vector psum: gradient norms (global step
+            # normalization, compute.c:200-216), tv/tv2 sums and the
+            # PREVIOUS iteration's prob distance (deferred for free)
+            vec = jnp.concatenate(
+                [sumsq_l, jnp.stack([tv_l, tv2_l, prob_dist[0]])])
+            vec = jax.lax.psum(vec, "y")
+            sumsq = vec[:nchannel]
+            tv, tv2, pdist = (vec[nchannel], vec[nchannel + 1],
+                              vec[nchannel + 2])
+            norms = jnp.sqrt(sumsq)
+            scale = jnp.where(norms == 0.0, 0.0, step_size / norms)
+
+            fnews, dnews, devq_news, dists = (
+                project_step.fused_project_multi_lite(
+                    list(fdatas), list(ds), grads, factor, scale,
+                    list(dats), list(qs), pa_sss, samp_list))
+            dist_local = jnp.float32(0.0)
+            for c in range(nchannel):
+                d = dists[c]
+                if prob_on[c] and not simd_compat_logging:
+                    d = p_alphas[c] * d
+                dist_local = dist_local + d
+
+            objective = (tv + tv2 + pdist) / jnp.float32(total_alpha)
+            metrics = jnp.stack([objective, pdist, tv, tv2])
+            carry_out = (tuple(fnews), tuple(dnews),
+                         tuple(dv for dv in devq_news
+                               if dv is not None),
+                         jnp.reshape(dist_local, (1,)), tnext)
+            return carry_out, metrics
+
+        init = (
+            tuple(f_in[c] for c in range(nchannel)),
+            tuple(d_in[c] for c in range(nchannel)),
+            tuple(devq_in),
+            pd0,
+            t0,
+        )
+        (fdata, dd, dqs_out, pd, t), metrics = jax.lax.scan(
+            body, init, None, length=nsteps)
+        outs = [jnp.stack(fdata), metrics, jnp.stack(dd)]
+        outs += list(dqs_out)
+        outs += [pd, t]
+        return tuple(outs)
+
+    from jax.experimental.shard_map import shard_map
+
+    band = P(None, "y", None)
+    coef = P("y", None)
+    in_specs = ([coef] * (2 * nchannel) + [band, band]
+                + [coef] * n_prob + [P("y"), P()])
+    out_specs = ([band, P(), band] + [coef] * n_prob
+                 + [P("y"), P()])
+
+    body = shard_body
+    if batch:
+        def _prepend(spec):
+            return P("batch", *spec)
+
+        in_specs = [_prepend(s) for s in in_specs[:-1]] + [P()]
+        out_specs = [_prepend(s) for s in out_specs[:-1]] + [P()]
+
+        def body(*args):  # noqa: F811 - deliberate wrap
+            outs = shard_body(*[a[0] for a in args[:-1]], args[-1])
+            return tuple(o[None] for o in outs[:-1]) + (outs[-1],)
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        check_rep=False,
+    )
+
+    def zero_carry_tail(lead=()):
+        d0 = jnp.zeros(lead + (nchannel, H2, W2), jnp.bfloat16)
+        dq0 = [jnp.zeros(lead + (H2 // g.h_samp, W2 // g.w_samp),
+                         jnp.bfloat16)
+               for c, g in enumerate(geoms) if prob_on[c]]
+        return d0, dq0
+
+    def solve(datas, quants, carry=None):
+        if batch:
+            per = [_padded_consts_lite(d, q, geoms, H, W, H2, W2)
+                   for d, q in zip(datas, quants)]
+            B = len(per)
+            dats = [jnp.stack([p[0][c] for p in per])
+                    for c in range(nchannel)]
+            qs = [jnp.stack([p[1][c] for p in per])
+                  for c in range(nchannel)]
+            f0 = jnp.stack([p[2] for p in per])
+            dats, qs, f0 = jax.lax.optimization_barrier(
+                (dats, qs, f0))
+            if carry is None:
+                d0, dq0 = zero_carry_tail((B,))
+                carry = (f0, d0, *dq0,
+                         jnp.zeros((B, n), jnp.float32),
+                         jnp.float32(1.0))
+            outs = sharded(*dats, *qs, *carry)
+            fdata, metrics = outs[0], outs[1]
+            carry_out = (fdata,) + tuple(outs[2:])
+            return fdata[:, :, :H, :W], metrics, carry_out
+        dats, qs, f0 = _padded_consts_lite(
+            datas, quants, geoms, H, W, H2, W2)
+        # pin the padded constants against while-loop constant sinking
+        # (the round-3 striped-path lesson, see _build_striped)
+        dats, qs, f0 = jax.lax.optimization_barrier((dats, qs, f0))
+        if carry is None:
+            d0, dq0 = zero_carry_tail()
+            carry = (f0, d0, *dq0,
+                     jnp.zeros((n,), jnp.float32), jnp.float32(1.0))
+        outs = sharded(*dats, *qs, *carry)
+        fdata, metrics = outs[0], outs[1]
+        carry_out = (fdata,) + tuple(outs[2:])
+        return fdata[:, :H, :W], metrics, carry_out
+
+    return jax.jit(solve)
+
+
 @functools.lru_cache(maxsize=32)
 def _build_striped(
     geoms: Tuple[ChannelGeometry, ...],
@@ -181,6 +475,12 @@ def _build_striped(
         nsteps = iterations
     nchannel = len(geoms)
     n = mesh.shape["y"]
+    lite = bool(use_pallas) and pallas_striped_lite_supported(
+        geoms, n, pweights)
+    if lite:
+        return _build_striped_lite(
+            geoms, weight, pweights, iterations, simd_compat_logging,
+            mesh, nsteps, batch)
     H, W, H2, W2, L = padded_striped_shape(geoms, n)
 
     # step size keys on the TRUE canvas (compute.c:425)
@@ -517,7 +817,10 @@ def solve_striped_batched(
             f"geometry {geoms} cannot be striped over {n} devices")
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
-                      and pallas_striped_supported(geoms, n))
+                      and (pallas_striped_supported(geoms, n)
+                           or pallas_striped_lite_supported(
+                               geoms, n, tuple(
+                                   float(p) for p in pweights))))
     solver = _build_striped(
         geoms, float(weight), tuple(float(p) for p in pweights),
         int(iterations), bool(simd_compat_logging), mesh,
@@ -556,7 +859,10 @@ def solve_striped(
             f"geometry {geoms} cannot be striped over {n} devices")
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
-                      and pallas_striped_supported(geoms, n))
+                      and (pallas_striped_supported(geoms, n)
+                           or pallas_striped_lite_supported(
+                               geoms, n, tuple(
+                                   float(p) for p in pweights))))
     key = (geoms, float(weight), tuple(float(p) for p in pweights),
            int(iterations), bool(simd_compat_logging), mesh,
            bool(use_pallas))

@@ -169,10 +169,8 @@ def test_striped_checkpoint_chunked_and_resume(tmp_path):
     d = [jnp.asarray(x) for x in datas]
     q = [jnp.asarray(x) for x in quants]
     _, m_first, carry = _build_striped(*key, 4)(d, q, None)
-    import hashlib
-    blob = repr(("striped-carry-v2", 4, False, geoms, 0.3,
-                 tuple([0.001] * 3), 6)).encode()
-    fp = hashlib.sha256(blob).hexdigest()[:16]
+    fp = C.striped_fingerprint(geoms, 4, False, 0.3,
+                               tuple([0.001] * 3), 6)
     C.save_state(ckpt, carry, 4, fp)
 
     res2 = solve_striped_checkpointed(

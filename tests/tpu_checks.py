@@ -273,6 +273,37 @@ def main():
         check(f"striped metrics finite ({fix})",
               np.isfinite(np.asarray(m_s)).all())
 
+    # these fixtures pass the lite gates, so the loop above compiled
+    # the round-3 LITE striped body (bf16 d/devq carries, 16-row
+    # halos); assert that, then force the f32 striped body once so it
+    # keeps compiled coverage too
+    import jpeg2png_tpu.parallel.stripes as stripes_mod
+    from jpeg2png_tpu.models.solver import ChannelGeometry as _CG
+
+    im5 = read_jpeg(FIXDIR / "photo512_q10_420.jpg")
+    ds5 = [p.data for p in im5.planes]
+    qs5 = [p.quant for p in im5.planes]
+    ss5 = [(p.h_samp, p.w_samp) for p in im5.planes]
+    g512 = tuple(_CG(d.shape[0], d.shape[1], sy, sx)
+                 for d, (sy, sx) in zip(ds5, ss5))
+    check("striped n=1 dispatches to the lite body",
+          stripes_mod.striped_carry_kind(g512, 1, True, (0.001,) * 3)
+          == "lite")
+    _orig_lite_gate = stripes_mod.pallas_striped_lite_supported
+    stripes_mod.pallas_striped_lite_supported = lambda *a, **k: False
+    stripes_mod._build_striped.cache_clear()
+    try:
+        fd_s32, _ = solve_striped(ds5, qs5, ss5, 0.3, [0.001] * 3, 10,
+                                  mesh1, use_pallas=True)
+        fd_x32, _ = solve_joint(ds5, qs5, ss5, 0.3, [0.001] * 3, 10,
+                                use_pallas=False)
+        psnr = _psnr(fd_s32, fd_x32)
+        check("striped f32 body (forced) vs xla @10", psnr > 55,
+              f"psnr={psnr:.2f} dB")
+    finally:
+        stripes_mod.pallas_striped_lite_supported = _orig_lite_gate
+        stripes_mod._build_striped.cache_clear()
+
     # --- mega-LITE tier (bf16 side-canvases extend the whole-solve
     # VMEM gate past 2.4 MP — round 3): compiled 3.15 MP solve vs the
     # f32 XLA path.  The bf16 canvases hold gradient-class quantities
