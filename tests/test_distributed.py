@@ -94,6 +94,27 @@ _WORKER = textwrap.dedent("""
     np.testing.assert_array_equal(res.metrics, gather_output(m4))
     print(f"proc {pid}: striped checkpoint over 2 processes ok",
           flush=True)
+
+    # --- striped-LITE body across 2 processes (round 3): the 16-row
+    # halo ppermutes and devq-carry sharding cross the host boundary
+    # for real; only the band kernel itself runs interpreted ---
+    from jax.experimental import pallas as pl
+    from jpeg2png_tpu.parallel.stripes import striped_carry_kind
+    from jpeg2png_tpu.models.solver import ChannelGeometry
+    geoms = tuple(ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+                  for d, (sy, sx) in zip(datas, samps))
+    assert striped_carry_kind(geoms, 2, True, (0.001,) * 3) == "lite"
+    orig = pl.pallas_call
+    pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        fd_l, m_l = solve_striped(
+            datas, quants, samps, 0.3, [0.001] * 3, 2, mesh,
+            use_pallas=True)
+        fdl = gather_output(fd_l)
+        assert np.abs(fdl - np.asarray(fd1)).max() < 0.5
+    finally:
+        pl.pallas_call = orig
+    print(f"proc {pid}: striped-lite over 2 processes ok", flush=True)
 """)
 
 
