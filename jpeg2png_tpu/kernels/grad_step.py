@@ -152,6 +152,30 @@ def _stencil_terms(fl, rows, cols, HT, WT, H, W, weight, own):
     return grad, tv_contrib, tv2_contrib
 
 
+def _expand_devq(x, ah, al_, bh, bl_, dc_t, sr, wc, sx):
+    """Coef-space devq [sr, wc] -> pixel-space prob gradient
+    (compute.c:38-70: alpha * idct(dev/q^2) replicated over the
+    subsampling footprint) — iter_step.py's stencil-phase expansion,
+    shared by the single-chip and striped lite kernels.
+
+    devq is ALREADY bf16: its (hi, lo) split has an exactly-zero lo,
+    so the column pass needs only the x*bh + x*bl terms (2 MXU
+    passes, not 3).  dc_t is a [>= sr, W] f32 VMEM scratch."""
+    from jpeg2png_tpu.kernels.project_step import _dot3, _split
+
+    TCs = 128 * sx
+    for tc in range(wc // 128):
+        xs = x[:, tc * 128:(tc + 1) * 128]
+        dn = (((1,), (0,)), ((), ()))
+        dc_t[:sr, tc * TCs:(tc + 1) * TCs] = (
+            jax.lax.dot_general(
+                xs, bh, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                xs, bl_, dn, preferred_element_type=jnp.float32))
+    ddh, ddl = _split(dc_t[:sr, :])
+    return _dot3(ah, al_, ddh, ddl, ((0,), (0,)))
+
+
 def _kernel(
     factor_ref,            # scalar-prefetch (1,) FISTA factor
     *refs,                 # per-channel HBM refs + scratch, see below
@@ -356,8 +380,6 @@ def _kernel_lite(
     f32, d_tile [C,T,W] bf16, P x dq_t [sr,wc] bf16, 4*n_samp ab VMEM,
     dc_t [SH,W] f32, g_out [C,SH,W] bf16, part_out, acc SMEM, sem.
     """
-    from jpeg2png_tpu.kernels.project_step import _dot3, _split
-
     uniq = list(dict.fromkeys(
         samps[c] for c in range(C) if prob_mask[c]))
     n_samp = len(uniq)
@@ -486,34 +508,13 @@ def _kernel_lite(
             if pad_mask is not None:
                 g_own = jnp.where(pad_mask, g_own, 0.0)
             if c in prob_idx:
-                # coef-space devq -> pixel-space prob gradient
-                # (compute.c:38-70: alpha * idct(dev/q^2) replicated),
-                # identical to iter_step.py's stencil-phase expansion
                 sy, sx = samps[c]
-                sr = SH // sy
-                wc = W // sx
                 kk = samp_slot[samps[c]]
-                ah = ab_ts[4 * kk][:, :]
-                al_ = ab_ts[4 * kk + 1][:, :]
-                bh = ab_ts[4 * kk + 2][:, :]
-                bl_ = ab_ts[4 * kk + 3][:, :]
-                # devq is ALREADY bf16 — its (hi, lo) split has an
-                # exactly-zero lo, so the column pass needs only the
-                # x*bh + x*bl terms (2 MXU passes, not 3)
-                x = dq_ts[prob_idx[c]][:, :]
-                TCs = 128 * sx
-                for tc in range(wc // 128):
-                    xs = x[:, tc * 128:(tc + 1) * 128]
-                    dn = (((1,), (0,)), ((), ()))
-                    dc_t[:sr, tc * TCs:(tc + 1) * TCs] = (
-                        jax.lax.dot_general(
-                            xs, bh, dn,
-                            preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(
-                            xs, bl_, dn,
-                            preferred_element_type=jnp.float32))
-                ddh, ddl = _split(dc_t[:sr, :])
-                pg = _dot3(ah, al_, ddh, ddl, ((0,), (0,)))
+                pg = _expand_devq(
+                    dq_ts[prob_idx[c]][:, :],
+                    ab_ts[4 * kk][:, :], ab_ts[4 * kk + 1][:, :],
+                    ab_ts[4 * kk + 2][:, :], ab_ts[4 * kk + 3][:, :],
+                    dc_t, SH // sy, W // sx, sx)
                 g_own = g_own + p_alpha_sss[c] * pg
             g_own = jnp.where(valid, g_own, 0.0)
             g_out[c, :, :] = g_own.astype(jnp.bfloat16)
@@ -668,7 +669,7 @@ def fused_grad(fdatas, fistas, pgrads, factor, weight: float,
     return grads, extraps, sumsq, tv, tv2
 
 
-def _pick_stripe_lite(h: int, w: int) -> int:
+def _pick_stripe_lite(h: int, w: int, C: int) -> int:
     """Stripe height for the lite kernel: 16-row halo (bf16 tiling),
     same wide-lane 64-row cap as the f32 kernel, SH % 16 (bf16 DMA
     slice alignment)."""
@@ -678,7 +679,7 @@ def _pick_stripe_lite(h: int, w: int) -> int:
         if sh > cap:
             continue
         # f (f32) + d (bf16) halo tiles, bf16 g_out, f32 dc_t
-        if (3 * (6 * (sh + 32) + 2 * sh) * w + 4 * sh * w
+        if (C * (6 * (sh + 32) + 2 * sh) * w + 4 * sh * w
                 <= budget and h >= sh + 32):
             return sh
     return 0
@@ -691,7 +692,7 @@ def supports_lite(C: int, H: int, W: int, samps, prob_mask) -> bool:
     partial last stripe's row count % (16*sy)."""
     if H % 16 or W % 128:
         return False
-    sh = _pick_stripe_lite(H, W)
+    sh = _pick_stripe_lite(H, W, C)
     if not sh:
         return False
     for (sy, sx), pm in zip(samps, prob_mask):
@@ -730,7 +731,7 @@ def fused_grad_lite(fdatas, ds, devqs, factor, weight: float,
     WT = W if w_true is None else int(w_true)
     prob_mask = tuple(pa != 0.0 for pa in p_alpha_sss)
     P = sum(prob_mask)
-    SH = _pick_stripe_lite(H, W)
+    SH = _pick_stripe_lite(H, W, C)
     assert SH, (H, W)
     nstripes = pl.cdiv(H, SH)
     T = SH + 32

@@ -455,7 +455,10 @@ def _kernel(
                 # jpeg.c:42) and q >= 2^39 the FREE region-gap sentinel;
                 # both must contribute EXACTLY zero to the prob term
                 # (the two-kernel tier zeroes its padded iq the same way)
-                iq = jnp.where((q > 0.0) & (q < 2.0 ** 39), 1.0 / q, 0.0)
+                from jpeg2png_tpu.kernels.project_step import (
+                    FREE_Q_MIN)
+                iq = jnp.where((q > 0.0) & (q < FREE_Q_MIN),
+                               1.0 / q, 0.0)
                 devp = (clamped - dq) * iq
                 acc[C + 2 + pi] = acc[C + 2 + pi] + 0.5 * jnp.sum(
                     devp * devp)

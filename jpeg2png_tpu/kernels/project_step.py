@@ -646,7 +646,13 @@ def fused_project_multi(extraps, grads, scales, los, his, dqs, iqs,
 # (kernels/iter_step.py supports_lite rationale).
 # ---------------------------------------------------------------------------
 
-_FREE_Q_MIN = 2.0 ** 39
+# FREE-sentinel quant pair, the single source of truth: writers mark
+# region-gap coefficients with FREE_Q; kernels treat any q >= FREE_Q_MIN
+# as an unconstrained box (and q == 0 as frozen canvas padding) — see
+# kernels/iter_step.py:433-458 for the algebra.
+FREE_Q = 2.0 ** 40
+FREE_Q_MIN = 2.0 ** 39
+_FREE_Q_MIN = FREE_Q_MIN
 
 
 def _stripe_math_lite(scale, factor, f_t, d_t, g_t, dat_t, q_t,

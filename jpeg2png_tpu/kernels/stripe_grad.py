@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from jpeg2png_tpu.kernels.grad_step import (
-    _cols2d, _roll, _rows2d, _shift_x, _shift_y, _stencil_terms)
+    _cols2d, _expand_devq, _roll, _rows2d, _shift_x, _shift_y,
+    _stencil_terms)
 
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
@@ -424,8 +425,6 @@ def _kernel_lite(
          ab VMEMs, dc_t [SH,W] f32, g_out [C,SH,W] bf16, part_out,
          acc SMEM (8,), sem DMA (8,).
     """
-    from jpeg2png_tpu.kernels.project_step import _dot3, _split
-
     uniq = list(dict.fromkeys(
         samps[c] for c in range(C) if prob_mask[c]))
     n_samp = len(uniq)
@@ -580,33 +579,13 @@ def _kernel_lite(
     for c in range(C):
         g_own = jnp.where(pad_mask, grad[c][own_rows, :], 0.0)
         if c in prob_idx:
-            # coef-space devq -> pixel-space prob gradient
-            # (compute.c:38-70: alpha * idct(dev/q^2) replicated) —
-            # identical to grad_step._kernel_lite's expansion; devq is
-            # already bf16 so its (hi, lo) split has an exactly-zero
-            # lo and the column pass needs only 2 MXU passes
             sy, sx = samps[c]
-            sr = SH // sy
-            wc = W // sx
             kk = samp_slot[samps[c]]
-            ah = ab_ts[4 * kk][:, :]
-            al_ = ab_ts[4 * kk + 1][:, :]
-            bh = ab_ts[4 * kk + 2][:, :]
-            bl_ = ab_ts[4 * kk + 3][:, :]
-            x = dq_ts[prob_idx[c]][:, :]
-            TCs = 128 * sx
-            for tc in range(wc // 128):
-                xs = x[:, tc * 128:(tc + 1) * 128]
-                dn = (((1,), (0,)), ((), ()))
-                dc_t[:sr, tc * TCs:(tc + 1) * TCs] = (
-                    jax.lax.dot_general(
-                        xs, bh, dn,
-                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(
-                        xs, bl_, dn,
-                        preferred_element_type=jnp.float32))
-            ddh, ddl = _split(dc_t[:sr, :])
-            pg = _dot3(ah, al_, ddh, ddl, ((0,), (0,)))
+            pg = _expand_devq(
+                dq_ts[prob_idx[c]][:, :],
+                ab_ts[4 * kk][:, :], ab_ts[4 * kk + 1][:, :],
+                ab_ts[4 * kk + 2][:, :], ab_ts[4 * kk + 3][:, :],
+                dc_t, SH // sy, W // sx, sx)
             g_own = g_own + p_alpha_sss[c] * pg
         g_out[c, :, :] = g_own.astype(_BF16)
         acc[c] = acc[c] + jnp.sum(g_own * g_own)

@@ -467,7 +467,7 @@ def _build_solver_impl(
 
             return body
 
-        def make_body_pallas_lite(W2, dat2, q2, pa_sss):
+        def make_body_pallas_lite(dat2, q2, pa_sss):
             """LITE two-kernel body: bf16 side state (FISTA difference,
             gradient, coef-space devq carry) and in-kernel clamp bounds
             from int16+quant rasters — the mega-lite scheme applied to
@@ -534,7 +534,9 @@ def _build_solver_impl(
                 # FREE sentinel quant — the box clamp becomes a no-op
                 # and the prob term underflows to exactly zero, so those
                 # canvas pixels evolve unconstrained like the reference.
-                FREE_Q = jnp.float32(2.0 ** 40)
+                from jpeg2png_tpu.kernels.project_step import (
+                    FREE_Q as _FQ)
+                FREE_Q = jnp.float32(_FQ)
                 data_arr, q_arr, dq0_shapes = [], [], []
                 for c, g in enumerate(geoms):
                     shp = (H // g.h_samp, W // g.w_samp)
@@ -580,28 +582,11 @@ def _build_solver_impl(
                         and H % g.h_samp == 0
                         for g in geoms))
             if two_ok:
-                import math as _math
-
-                from jpeg2png_tpu.kernels.grad_step import (
-                    supports_lite as _grad_lite_ok)
-
                 pa_sss = tuple(
                     p_alphas[c] * g.h_samp * g.w_samp
                     for c, g in enumerate(geoms))
                 prob_mask_l = tuple(p != 0.0 for p in pa_sss)
-                # bf16/int16 HBM tiles are (16, 128)-packed, so the
-                # lite canvas is H-padded to 16*sy alignment with
-                # frozen q == 0 rows — the same mechanism as the W2
-                # column padding
-                unit_h = 16
-                for g in geoms:
-                    unit_h = _math.lcm(unit_h, 16 * g.h_samp)
-                H2 = -(-H // unit_h) * unit_h
-                lite_ok = (
-                    _grad_lite_ok(nchannel, H2, W2, samp_list,
-                                  prob_mask_l)
-                    and _proj.supports_multi_lite(H2, W2, samp_list)
-                    and H2 * W2 <= 2 * H * W)
+                H2, lite_ok = _two_lite_geometry(geoms, W2, prob_mask_l)
             else:
                 lite_ok = False
             if lite_ok:
@@ -609,7 +594,9 @@ def _build_solver_impl(
                 # kernel's padding algebra (q == 0 freezes canvas
                 # padding, q >= 2^39 FREE leaves region gaps
                 # unconstrained — kernels/iter_step.py:433-458)
-                FREE_Q = jnp.float32(2.0 ** 40)
+                from jpeg2png_tpu.kernels.project_step import (
+                    FREE_Q as _FQ)
+                FREE_Q = jnp.float32(_FQ)
                 dat2, q2 = [], []
                 for c, g in enumerate(geoms):
                     hc_t, wc_t = data_i16_rs[c].shape
@@ -646,7 +633,7 @@ def _build_solver_impl(
                         if p_alphas[c] != 0.0)
                     carry_in = (f0s, d0, dq0, jnp.float32(0.0),
                                 jnp.asarray(1.0, f32))
-                body = make_body_pallas_lite(W2, dat2, q2, pa_sss)
+                body = make_body_pallas_lite(dat2, q2, pa_sss)
                 carry_out, metrics = jax.lax.scan(
                     body, carry_in, None, length=nsteps)
                 fdata = jnp.stack(carry_out[0])
@@ -736,6 +723,33 @@ def _build_solver(
     return jax.jit(solve)
 
 
+def _two_lite_geometry(geoms, W2: int, prob_mask):
+    """(H2, ok) for the two-lite tier: the 16-aligned padded canvas
+    height and whether the lite kernels + the 2x padding-waste gate
+    cover this geometry (given the f32 two-kernel gates already
+    passed at width W2).  Shared by solve_impl and active_tier so the
+    checkpoint fingerprint's tier label can never drift from the
+    dispatch."""
+    import math as _math
+
+    from jpeg2png_tpu.kernels import grad_step, project_step
+
+    H, W = canvas_shape(geoms)
+    samps = [(g.h_samp, g.w_samp) for g in geoms]
+    # bf16/int16 HBM tiles are (16, 128)-packed, so the lite canvas is
+    # H-padded to 16*sy alignment with frozen q == 0 rows — the same
+    # mechanism as the W2 column padding
+    unit_h = 16
+    for sy, _ in samps:
+        unit_h = _math.lcm(unit_h, 16 * sy)
+    H2 = -(-H // unit_h) * unit_h
+    ok = (grad_step.supports_lite(len(geoms), H2, W2, samps,
+                                  tuple(prob_mask))
+          and project_step.supports_multi_lite(H2, W2, samps)
+          and H2 * W2 <= 2 * H * W)
+    return H2, ok
+
+
 def active_tier(geoms: Tuple[ChannelGeometry, ...],
                 use_pallas: bool,
                 pweights: Tuple[float, ...] | None = None) -> str:
@@ -767,20 +781,11 @@ def active_tier(geoms: Tuple[ChannelGeometry, ...],
             and grad_step.supports(len(geoms), H, W2)
             and all(project_step.supports(H, W2, sy, sx) and H % sy == 0
                     for sy, sx in samps)):
-        import math as _math
-
         if pweights is None:
             prob_mask = tuple(True for _ in geoms)
         else:
             prob_mask = tuple(p != 0.0 for p in pweights)
-        unit_h = 16
-        for sy, _ in samps:
-            unit_h = _math.lcm(unit_h, 16 * sy)
-        H2 = -(-H // unit_h) * unit_h
-        if (grad_step.supports_lite(len(geoms), H2, W2, samps,
-                                    prob_mask)
-                and project_step.supports_multi_lite(H2, W2, samps)
-                and H2 * W2 <= 2 * H * W):
+        if _two_lite_geometry(geoms, W2, prob_mask)[1]:
             return "two-lite"
         return "two"
     return "xla"

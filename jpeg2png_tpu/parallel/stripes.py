@@ -203,7 +203,9 @@ def _padded_consts(datas, quants, geoms, H, W, H2, W2):
     return dqs, los, his, iqs, jnp.stack(f0s)
 
 
-_FREE_Q = jnp.float32(2.0 ** 40)   # lite FREE sentinel (> 2^39 gate)
+def _free_q():
+    from jpeg2png_tpu.kernels.project_step import FREE_Q
+    return jnp.float32(FREE_Q)
 
 
 def _padded_consts_lite(datas, quants, geoms, H, W, H2, W2):
@@ -225,7 +227,7 @@ def _padded_consts_lite(datas, quants, geoms, H, W, H2, W2):
         if di.shape != (hc_t, wc_t):
             pad = ((0, hc_t - di.shape[0]), (0, wc_t - di.shape[1]))
             di = jnp.pad(di, pad)
-            q_r = jnp.pad(q_r, pad, constant_values=_FREE_Q)
+            q_r = jnp.pad(q_r, pad, constant_values=_free_q())
         hc_p, wc_p = H2 // sy, W2 // sx
         if (hc_p, wc_p) != (hc_t, wc_t):
             pad = ((0, hc_p - hc_t), (0, wc_p - wc_t))

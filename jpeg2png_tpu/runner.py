@@ -268,7 +268,8 @@ def decode_files_batched(
 # ---------------------------------------------------------------------------
 
 
-_FREE_Q = np.float32(2.0 ** 40)
+from jpeg2png_tpu.kernels.project_step import FREE_Q as _FREE_Q_F
+_FREE_Q = np.float32(_FREE_Q_F)
 
 
 def _np_initial_canvas(planes, H, W, HB, WB):
