@@ -79,6 +79,11 @@ def main():
             and "args" in e}
     dev_pids = [p for p, n in pids.items()
                 if "TPU" in n or "tpu" in n.lower() or "/device:" in n]
+    if not dev_pids:
+        # CPU backend: no device process — aggregate every pid that
+        # carries complete ('X') events so the op inventory still prints
+        dev_pids = sorted({e["pid"] for e in ev
+                           if e.get("ph") == "X" and "pid" in e})
     tot = {}
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
