@@ -267,3 +267,34 @@ def test_two_lite_checkpoint_roundtrip(interpret_pallas, force_two_tier,
     np.testing.assert_allclose(res.fdata, np.asarray(f_ref), atol=1e-4)
     np.testing.assert_allclose(res.metrics, np.asarray(m_ref),
                                rtol=1e-4)
+
+
+def test_two_lite_alpha_logging_mode(interpret_pallas, force_two_tier):
+    """simd_compat_logging=False (the alpha-scaled objective variant —
+    the reference C-vs-SIMD logging quirk, compute.c:69 vs
+    compute_simd_step.c:61) flows through the lite projection's dist
+    outputs identically to the XLA path."""
+    from jpeg2png_tpu.models.solver import solve_joint
+
+    rng = np.random.default_rng(21)
+    samps = [(1, 1), (2, 2), (2, 2)]
+    datas, quants = [], []
+    for sy, sx in samps:
+        nb = 16 // sy
+        datas.append(rng.integers(-25, 25, (nb, nb, 8, 8))
+                     .astype(np.int16))
+        quants.append(rng.integers(1, 60, (8, 8)).astype(np.uint16))
+    fp, mp_ = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 5,
+                          simd_compat_logging=False, use_pallas=True)
+    fx, mx_ = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 5,
+                          simd_compat_logging=False, use_pallas=False)
+    # prob_dist is logged one iteration behind: row 0 compares
+    # pointwise (dist still 0), row 1 carries the first alpha-scaled
+    # distance, whose bf16x3 projection matmuls give ~1e-3 relative
+    np.testing.assert_allclose(np.asarray(mp_)[0], np.asarray(mx_)[0],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mp_)[1], np.asarray(mx_)[1],
+                               rtol=1e-2)
+    assert np.asarray(mp_)[1, 1] > 0        # the scaled dist is live
+    mse = ((np.asarray(fp) - np.asarray(fx)) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-12)) > 60
