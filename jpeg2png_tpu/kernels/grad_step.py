@@ -156,7 +156,7 @@ def _expand_devq(x, ah, al_, bh, bl_, dc_t, sr, wc, sx):
     """Coef-space devq [sr, wc] -> pixel-space prob gradient
     (compute.c:38-70: alpha * idct(dev/q^2) replicated over the
     subsampling footprint) — iter_step.py's stencil-phase expansion,
-    shared by the single-chip and striped lite kernels.
+    used by the lite kernels (kernels/stripe_grad.py).
 
     devq is ALREADY bf16: its (hi, lo) split has an exactly-zero lo,
     so the column pass needs only the x*bh + x*bl terms (2 MXU
@@ -354,217 +354,6 @@ def _kernel(
         cpp.wait()
 
 
-def _kernel_lite(
-    factor_ref,            # scalar-prefetch (1,) FISTA factor
-    *refs,
-    C, P, H, W, HT, WT, SH, weight, nstripes, prob_mask, samps,
-    p_alpha_sss,
-):
-    """LITE variant: bf16 FISTA-difference state + coef-space devq prob
-    carry (the mega-lite scheme, kernels/iter_step.py supports_lite
-    rationale).  Per-channel inputs are f (f32) and d = f - fista
-    (bf16); the prob term arrives as the previous projection's
-    (clamped-dq)/q^2 carry in coefficient space and is expanded to the
-    pixel-space gradient in-kernel via the block-diagonal transform
-    tiles (exactly iter_step.py's stencil-phase expansion,
-    compute.c:38-70).  Output gradients are bf16: they are
-    gradient-class quantities whose ~2^-9 rounding acts as subgradient
-    noise; the iterate itself stays f32 in the projection kernel.
-
-    bf16/int16 HBM tiles are (16, 128)-packed, so every DMA row slice
-    here is 16-aligned: halo = 16 rows (stencil needs 2), T = SH + 32,
-    and the geometry gates require H % 16 == 0 and SH % (16*sy) == 0.
-
-    refs layout: C x f, C x d, P x devq [hc, wc], 4*n_samp ab tiles;
-    out: C x grad (bf16), partials (8,128); scratch: f_tile [C,T,W]
-    f32, d_tile [C,T,W] bf16, P x dq_t [sr,wc] bf16, 4*n_samp ab VMEM,
-    dc_t [SH,W] f32, g_out [C,SH,W] bf16, part_out, acc SMEM, sem.
-    """
-    uniq = list(dict.fromkeys(
-        samps[c] for c in range(C) if prob_mask[c]))
-    n_samp = len(uniq)
-    it = iter(refs)
-    f_hbms = [next(it) for _ in range(C)]
-    d_hbms = [next(it) for _ in range(C)]
-    dq_hbms = [next(it) for _ in range(P)]
-    ab_hbms = [next(it) for _ in range(4 * n_samp)]
-    grad_hbms = [next(it) for _ in range(C)]
-    partial_hbm = next(it)
-    f_tile = next(it)
-    d_tile = next(it)
-    dq_ts = [next(it) for _ in range(P)]
-    ab_ts = [next(it) for _ in range(4 * n_samp)]
-    dc_t = next(it)
-    g_out = next(it)
-    part_out = next(it)
-    acc = next(it)
-    sem = next(it)
-
-    i = pl.program_id(0)
-    T = SH + 32
-    r0 = pl.multiple_of(i * SH, 16)
-    start = pl.multiple_of(jnp.clip(r0 - 16, 0, H - T), 16)
-    last_rows = H - (nstripes - 1) * SH
-
-    copies = []
-    for c in range(C):
-        cp = pltpu.make_async_copy(
-            f_hbms[c].at[pl.ds(start, T), :], f_tile.at[c], sem.at[0])
-        cp.start()
-        copies.append(cp)
-        cp = pltpu.make_async_copy(
-            d_hbms[c].at[pl.ds(start, T), :], d_tile.at[c], sem.at[1])
-        cp.start()
-        copies.append(cp)
-
-    @pl.when(i == 0)
-    def _():
-        cps = []
-        for src, dst in zip(ab_hbms, ab_ts):
-            cp = pltpu.make_async_copy(src, dst, sem.at[6])
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
-        for j in range(8):
-            acc[j] = jnp.float32(0.0)
-
-    # devq rows for this stripe (block-aligned, no halo; the partial
-    # last stripe leaves stale-but-finite rows in scratch — the
-    # expansion output there is masked off by `valid` below)
-    if P:
-        prob_cs = [c for c in range(C) if prob_mask[c]]
-
-        @pl.when(i < nstripes - 1)
-        def _():
-            cps = []
-            for pi, c in enumerate(prob_cs):
-                sy = samps[c][0]
-                sr = SH // sy
-                cp = pltpu.make_async_copy(
-                    dq_hbms[pi].at[pl.ds(i * sr, sr), :], dq_ts[pi],
-                    sem.at[2])
-                cp.start()
-                cps.append(cp)
-            for cp in cps:
-                cp.wait()
-
-        @pl.when(i == nstripes - 1)
-        def _():
-            cps = []
-            for pi, c in enumerate(prob_cs):
-                sy = samps[c][0]
-                sr = SH // sy
-                lr = last_rows // sy
-                cp = pltpu.make_async_copy(
-                    dq_hbms[pi].at[pl.ds(i * sr, lr), :],
-                    dq_ts[pi].at[pl.ds(0, lr), :], sem.at[2])
-                cp.start()
-                cps.append(cp)
-            for cp in cps:
-                cp.wait()
-
-    for cp in copies:
-        cp.wait()
-
-    factor = factor_ref[0]
-    rows = _rows2d(start, T, W)
-    cols = _cols2d(T, W)
-    own = (rows >= r0) & (rows < jnp.minimum(r0 + SH, H))
-
-    fl = [None] * C
-    for c in range(C):
-        fl[c] = (f_tile[c, :, :]
-                 + factor * d_tile[c, :, :].astype(jnp.float32))
-
-    grad, tv_c, tv2_c = _stencil_terms(
-        fl, rows, cols, HT, WT, H, W, weight, own)
-    acc[C] = acc[C] + tv_c
-    if tv2_c is not None:
-        acc[C + 1] = acc[C + 1] + tv2_c
-
-    # ---- own-rows extraction + devq expansion + bf16 writeback ----
-    block_rows = jax.lax.broadcasted_iota(jnp.int32, (SH, W), 0) + r0
-    valid = block_rows < H
-
-    prob_idx = {}
-    pi = 0
-    for c in range(C):
-        if prob_mask[c]:
-            prob_idx[c] = pi
-            pi += 1
-    samp_slot = {s: k for k, s in enumerate(uniq)}
-
-    pad_mask = None
-    if HT < H or WT < W:
-        rows_own = jax.lax.broadcasted_iota(jnp.int32, (SH, W), 0) + r0
-        cols_own = jax.lax.broadcasted_iota(jnp.int32, (SH, W), 1)
-        pad_mask = (rows_own < HT) & (cols_own < WT)
-
-    def emit(off: int):
-        for c in range(C):
-            g = grad[c] if off == 0 else _roll(grad[c], -off, 0)
-            g_own = g[:SH, :]
-            if pad_mask is not None:
-                g_own = jnp.where(pad_mask, g_own, 0.0)
-            if c in prob_idx:
-                sy, sx = samps[c]
-                kk = samp_slot[samps[c]]
-                pg = _expand_devq(
-                    dq_ts[prob_idx[c]][:, :],
-                    ab_ts[4 * kk][:, :], ab_ts[4 * kk + 1][:, :],
-                    ab_ts[4 * kk + 2][:, :], ab_ts[4 * kk + 3][:, :],
-                    dc_t, SH // sy, W // sx, sx)
-                g_own = g_own + p_alpha_sss[c] * pg
-            g_own = jnp.where(valid, g_own, 0.0)
-            g_out[c, :, :] = g_own.astype(jnp.bfloat16)
-            acc[c] = acc[c] + jnp.sum(g_own * g_own)
-
-    off_last = nstripes * SH - H + 32
-
-    @pl.when(i == 0)
-    def _():
-        emit(0)
-
-    if nstripes > 2:
-        @pl.when((i > 0) & (i < nstripes - 1))
-        def _():
-            emit(16)
-
-    @pl.when(i == nstripes - 1)
-    def _():
-        emit(off_last)
-
-    @pl.when(i < nstripes - 1)
-    def _():
-        cps = []
-        for c in range(C):
-            cg = pltpu.make_async_copy(
-                g_out.at[c], grad_hbms[c].at[pl.ds(r0, SH), :], sem.at[3])
-            cg.start()
-            cps.append(cg)
-        for cp in cps:
-            cp.wait()
-
-    @pl.when(i == nstripes - 1)
-    def _():
-        cps = []
-        for c in range(C):
-            cg = pltpu.make_async_copy(
-                g_out.at[c, pl.ds(0, last_rows), :],
-                grad_hbms[c].at[pl.ds(r0, last_rows), :], sem.at[3])
-            cg.start()
-            cps.append(cg)
-        for cp in cps:
-            cp.wait()
-
-        vals = jnp.stack([acc[j] for j in range(8)])
-        part_out[:, :] = jnp.broadcast_to(vals[:, None], (8, 128))
-        cpp = pltpu.make_async_copy(part_out, partial_hbm, sem.at[5])
-        cpp.start()
-        cpp.wait()
-
-
 def _pick_stripe(h: int, w: int) -> int:
     """Stripe height: bound VMEM tile bytes ~ 5 * C * (SH+16) * W * 4.
 
@@ -667,133 +456,3 @@ def fused_grad(fdatas, fistas, pgrads, factor, weight: float,
     tv = partials[C, 0]
     tv2 = partials[C + 1, 0]
     return grads, extraps, sumsq, tv, tv2
-
-
-def _pick_stripe_lite(h: int, w: int, C: int) -> int:
-    """Stripe height for the lite kernel: 16-row halo (bf16 tiling),
-    same wide-lane 64-row cap as the f32 kernel, SH % 16 (bf16 DMA
-    slice alignment)."""
-    budget = 48 * 1024 * 1024
-    cap = 64 if w > 1024 else 256
-    for sh in (256, 128, 64, 32, 16):
-        if sh > cap:
-            continue
-        # f (f32) + d (bf16) halo tiles, bf16 g_out, f32 dc_t
-        if (C * (6 * (sh + 32) + 2 * sh) * w + 4 * sh * w
-                <= budget and h >= sh + 32):
-            return sh
-    return 0
-
-
-def supports_lite(C: int, H: int, W: int, samps, prob_mask) -> bool:
-    """Geometry gate for the lite gradient kernel.  bf16/int16 HBM
-    tiles are (16, 128)-packed, so every DMA row slice must be
-    16-aligned: H % 16, SH % (16*sy) for the devq slices, and the
-    partial last stripe's row count % (16*sy)."""
-    if H % 16 or W % 128:
-        return False
-    sh = _pick_stripe_lite(H, W, C)
-    if not sh:
-        return False
-    for (sy, sx), pm in zip(samps, prob_mask):
-        if not pm:
-            continue
-        if sh % (16 * sy) or H % (16 * sy) or (W // sx) % 128 or W % sx:
-            return False
-    return True
-
-
-def fused_grad_lite(fdatas, ds, devqs, factor, weight: float,
-                    samps, p_alpha_sss,
-                    h_true: int | None = None,
-                    w_true: int | None = None):
-    """Lite fused gradient pass: bf16 difference state + coef-space
-    devq prob carry (see _kernel_lite).
-
-    Args:
-        fdatas: per-channel [H, W] f32 iterates.
-        ds: per-channel [H, W] bf16 FISTA differences d = f - fista.
-        devqs: per-PROB-channel [H//sy, W//sx] bf16 (clamped-dq)/q^2
-            carries from the previous projection.
-        factor: traced scalar FISTA extrapolation factor.
-        weight: static TGV2 weight.
-        samps: per-channel (sy, sx).
-        p_alpha_sss: per-channel static p_alpha*sy*sx (0 = prob off).
-        h_true, w_true: true canvas extent for zero-padded canvases.
-    Returns:
-        (grads list of [H, W] bf16, sumsq [C], tv, tv2)
-    """
-    from jpeg2png_tpu.kernels.project_step import _ab_tiles
-
-    C = len(fdatas)
-    H, W = fdatas[0].shape
-    HT = H if h_true is None else int(h_true)
-    WT = W if w_true is None else int(w_true)
-    prob_mask = tuple(pa != 0.0 for pa in p_alpha_sss)
-    P = sum(prob_mask)
-    SH = _pick_stripe_lite(H, W, C)
-    assert SH, (H, W)
-    nstripes = pl.cdiv(H, SH)
-    T = SH + 32
-
-    uniq = list(dict.fromkeys(
-        samps[c] for c in range(C) if prob_mask[c]))
-    ab_consts = []
-    ab_shapes = []
-    for (sy, sx) in uniq:
-        for m in _ab_tiles(SH, sy, 128, sx):
-            ab_consts.append(jnp.asarray(m))
-            ab_shapes.append(m.shape)
-
-    kernel = functools.partial(
-        _kernel_lite, C=C, P=P, H=H, W=W, HT=HT, WT=WT, SH=SH,
-        weight=float(weight), nstripes=nstripes, prob_mask=prob_mask,
-        samps=tuple(samps),
-        p_alpha_sss=tuple(float(p) for p in p_alpha_sss))
-
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    scratch = [
-        pltpu.VMEM((C, T, W), jnp.float32),      # f_tile
-        pltpu.VMEM((C, T, W), jnp.bfloat16),     # d_tile
-    ]
-    for c in range(C):
-        if prob_mask[c]:
-            sy, sx = samps[c]
-            scratch.append(
-                pltpu.VMEM((SH // sy, W // sx), jnp.bfloat16))  # dq_t
-    for shp in ab_shapes:
-        scratch.append(pltpu.VMEM(shp, jnp.bfloat16))
-    scratch += [
-        pltpu.VMEM((SH, W), jnp.float32),        # dc_t (expansion)
-        pltpu.VMEM((C, SH, W), jnp.bfloat16),    # g_out
-        pltpu.VMEM((8, 128), jnp.float32),
-        pltpu.SMEM((8,), jnp.float32),
-        pltpu.SemaphoreType.DMA((8,)),
-    ]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nstripes,),
-        in_specs=[any_spec] * (2 * C + P + 4 * len(uniq)),
-        out_specs=[any_spec] * (C + 1),
-        scratch_shapes=scratch,
-    )
-
-    hwb = jax.ShapeDtypeStruct((H, W), jnp.bfloat16)
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[hwb] * C + [jax.ShapeDtypeStruct((8, 128),
-                                                    jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-    )(jnp.reshape(factor.astype(jnp.float32), (1,)),
-      *fdatas, *ds, *devqs, *ab_consts)
-
-    grads = list(outs[:C])
-    partials = outs[C]
-    sumsq = partials[:C, 0]
-    tv = partials[C, 0]
-    tv2 = partials[C + 1, 0]
-    return grads, sumsq, tv, tv2

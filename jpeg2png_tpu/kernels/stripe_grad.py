@@ -602,10 +602,13 @@ def _kernel_lite(
         cpp.wait()
 
 
-def _pick_stripe_lite(L: int, W: int, C: int, samps, prob_mask) -> int:
+def _pick_stripe_lite(L: int | None, W: int, C: int, samps,
+                      prob_mask) -> int:
     """Largest SH dividing L with 16-aligned bf16 DMA slices for every
     channel (SH % 16; SH % (16*sy) for prob channels' devq slices),
-    under the VMEM budget and the wide-lane 64-row stencil cap."""
+    under the VMEM budget and the wide-lane 64-row stencil cap.
+    L=None skips the divisibility requirement (used to CHOOSE a padded
+    band height, see padded_band_height)."""
     budget = 48 * 1024 * 1024
     cap = 64 if W > 1024 else 256
     unit = 16
@@ -613,12 +616,40 @@ def _pick_stripe_lite(L: int, W: int, C: int, samps, prob_mask) -> int:
         if pm:
             unit = math.lcm(unit, 16 * sy)
     for sh in (256, 128, 64, 32, 16):
-        if sh > cap or L % sh or sh % unit:
+        if sh > cap or (L is not None and L % sh) or sh % unit:
             continue
         # f32 f/dc_t + bf16 d/g_out tiles
         if (C * (6 * (sh + 32) + 2 * sh) * W + 4 * sh * W) <= budget:
             return sh
     return 0
+
+
+def padded_band_height(H: int, W: int, C: int, samps,
+                       prob_mask) -> int:
+    """A padded band height H2 >= H that the lite kernel serves
+    (0 if no stripe height fits): the largest admissible stripe height
+    whose whole-stripe padding stays within 25%, else the least-padded
+    admissible one.  The H2 - H pad rows ride the frozen q == 0
+    padding algebra; used by the single-chip two-lite tier, which runs
+    this kernel on the whole canvas as one band with zero halos
+    (models/solver.py)."""
+    budget = 48 * 1024 * 1024
+    cap = 64 if W > 1024 else 256
+    unit = 16
+    for (sy, _), pm in zip(samps, prob_mask):
+        if pm:
+            unit = math.lcm(unit, 16 * sy)
+    fallback = 0
+    for sh in (256, 128, 64, 32, 16):
+        if sh > cap or sh % unit:
+            continue
+        if (C * (6 * (sh + 32) + 2 * sh) * W + 4 * sh * W) > budget:
+            continue
+        H2 = -(-H // sh) * sh
+        if 4 * H2 <= 5 * H:
+            return H2
+        fallback = H2  # least-padded so far (sh descends)
+    return fallback
 
 
 def supports_lite(C: int, L: int, W: int, samps, prob_mask) -> bool:

@@ -34,7 +34,10 @@ def _fingerprint(geoms, weight, pweights, iterations, use_pallas) -> str:
     # (coef-space devq / pixel-space pgrad / clamped cos), so a
     # checkpoint from another tier or an older format must be rejected
     # with the clear config-mismatch error, not silently reinterpreted
-    blob = repr(("carry-v2",
+    # carry-v3: the two-lite canvas height pads to whole stripes (the
+    # striped-lite gradient kernel's band geometry), so v2 two-lite
+    # carries have different leaf shapes
+    blob = repr(("carry-v3",
                  active_tier(geoms, use_pallas, tuple(pweights)),
                  geoms, weight, tuple(pweights), iterations,
                  use_pallas)).encode()

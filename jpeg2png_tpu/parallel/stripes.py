@@ -375,7 +375,6 @@ def _build_striped_lite(
         outs += [pd, t]
         return tuple(outs)
 
-    from jax.experimental.shard_map import shard_map
 
     band = P(None, "y", None)
     coef = P("y", None)
@@ -396,11 +395,11 @@ def _build_striped_lite(
             outs = shard_body(*[a[0] for a in args[:-1]], args[-1])
             return tuple(o[None] for o in outs[:-1]) + (outs[-1],)
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=tuple(out_specs),
-        check_rep=False,
+        check_vma=False,
     )
 
     def zero_carry_tail(lead=()):
@@ -702,7 +701,6 @@ def _build_striped(
         outs += [pd, t]
         return tuple(outs)
 
-    from jax.experimental.shard_map import shard_map
 
     # the prob-dist carry is a per-device (1,) LOCAL partial (its psum
     # is deferred into the next iteration's fused vector all-reduce),
@@ -731,11 +729,11 @@ def _build_striped(
             outs = shard_body(*[a[0] for a in args[:-1]], args[-1])
             return tuple(o[None] for o in outs[:-1]) + (outs[-1],)
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=tuple(out_specs),
-        check_rep=False,
+        check_vma=False,
     )
 
     def solve(datas, quants, carry=None):

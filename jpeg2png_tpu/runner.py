@@ -68,15 +68,14 @@ def _dp_wrap(body, n_dp: int):
     locally (no collectives: images are independent)."""
     if n_dp <= 1:
         return jax.jit(body)
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from jpeg2png_tpu.parallel.mesh import batch_mesh
 
     mesh = batch_mesh(n_dp, devices=jax.local_devices()[:n_dp])
-    return jax.jit(shard_map(
+    return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=P("batch"), out_specs=P("batch"),
-        check_rep=False))
+        check_vma=False))
 
 
 def _pad_batch(arrays_tree, B: int, n_dp: int):

@@ -47,8 +47,12 @@ def _bf16ify(x):
 
 
 def test_fused_grad_lite_matches_f32(interpret_pallas):
-    """grad-lite == f32 fused_grad to bf16 output rounding, with the
-    coef-space devq carry expanded in-kernel (compute.c:38-70)."""
+    """The two-lite tier's gradient pass — the STRIPED lite kernel run
+    on the whole canvas as one zero-halo band (models/solver.py
+    make_body_pallas_lite) — == f32 fused_grad to bf16 output
+    rounding, with the coef-space devq carry expanded in-kernel
+    (compute.c:38-70)."""
+    from jpeg2png_tpu.kernels import stripe_grad
     from jpeg2png_tpu.ops.dct_raster import sampled_idct_up
 
     rng = np.random.default_rng(0)
@@ -56,7 +60,9 @@ def test_fused_grad_lite_matches_f32(interpret_pallas):
     samps = [(1, 1), (2, 2), (2, 2)]
     pa_ss = (0.36, 0.36 * 4, 0.0)       # third channel prob off
     prob_mask = tuple(p != 0.0 for p in pa_ss)
-    assert grad_step.supports_lite(C, H, W, samps, prob_mask)
+    assert stripe_grad.supports_lite(C, H, W, samps, prob_mask)
+    assert stripe_grad.padded_band_height(H, W, C, samps,
+                                          prob_mask) == H
 
     # bf16-exact inputs so the two kernels see identical state
     fs = [jnp.asarray(_bf16ify(rng.normal(0, 50, (H, W))))
@@ -70,8 +76,11 @@ def test_fused_grad_lite_matches_f32(interpret_pallas):
     factor = jnp.float32(0.37)
     weight = 0.3
 
-    grads, sumsq, tv, tv2 = grad_step.fused_grad_lite(
-        fs, ds, devqs, factor, weight, samps, pa_ss)
+    zf = [jnp.zeros((16, W), jnp.float32)] * C
+    zd = [jnp.zeros((16, W), jnp.bfloat16)] * C
+    grads, sumsq, tv, tv2 = stripe_grad.fused_grad_striped_lite(
+        fs, ds, devqs, (zf, zf, zd, zd), factor, jnp.int32(0),
+        weight, samps, pa_ss, h_pad=H, h_true=H, w_true=W)
 
     pgs, pi = [], 0
     for c, (sy, sx) in enumerate(samps):
@@ -205,8 +214,9 @@ def test_solve_two_lite_matches_xla(interpret_pallas, force_two_tier,
 
 
 def test_two_lite_tier_gating():
-    """active_tier mirrors the solve_impl gates: 16-row alignment for
-    the bf16/int16 DMA tiling, falling back to the f32 'two' tier."""
+    """active_tier mirrors the solve_impl gates: whole-stripe H
+    padding with frozen q == 0 rows, falling back to the f32 'two'
+    tier where the lite kernels' lane alignment fails."""
     from jpeg2png_tpu.models.solver import ChannelGeometry, active_tier
     from jpeg2png_tpu.kernels import iter_step
 
@@ -216,13 +226,23 @@ def test_two_lite_tier_gating():
     try:
         g16 = (ChannelGeometry(16, 32, 1, 1),)       # H=128: aligned
         assert active_tier(g16, True, (1.0,)) == "two-lite"
-        # H=600 % 16 == 8: the lite tier H-pads to 608 with frozen
+        # H=600: the lite tier H-pads to whole stripes with frozen
         # q == 0 rows rather than falling back
         g75 = (ChannelGeometry(75, 32, 1, 1),)
         assert active_tier(g75, True, (1.0,)) == "two-lite"
-        # too short for the 16-row-halo stripes: f32 'two' fallback
-        g3 = (ChannelGeometry(3, 32, 1, 1),)         # H=24 (pad 32)
-        assert active_tier(g3, True, (1.0,)) == "two"
+        # short canvases ride the zero-halo band kernel too (H=24
+        # pads to one 32-row stripe; the halo arrays cover the rest)
+        g3 = (ChannelGeometry(3, 32, 1, 1),)
+        assert active_tier(g3, True, (1.0,)) == "two-lite"
+        # subsampled channels never break the lite lane gates: W2
+        # already pads to 128*max_sx, so W2//sx stays 128-aligned
+        gnarrow = (ChannelGeometry(16, 16, 1, 1),    # W2 = 256
+                   ChannelGeometry(8, 8, 2, 2))
+        assert active_tier(gnarrow, True, (1.0, 1.0)) == "two-lite"
+        # H=24, W=136: stripe padding (32) x W2 padding (256) trips
+        # the 2x padding-waste gate -> f32 'two' fallback
+        gwaste = (ChannelGeometry(3, 17, 1, 1),)
+        assert active_tier(gwaste, True, (1.0,)) == "two"
     finally:
         iter_step.supports, iter_step.supports_lite = orig_s, orig_l
 

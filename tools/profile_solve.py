@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--striped", action="store_true",
                     help="profile the striped body on an n=1 mesh")
+    ap.add_argument("--transpose", action="store_true",
+                    help="transpose the problem first (orientation "
+                         "A/B comparisons; solve_joint already "
+                         "transposes landscape canvases itself)")
     ap.add_argument("--top", type=int, default=14)
     ap.add_argument("--trace-dir", default="/tmp/jpeg2png_prof")
     args = ap.parse_args()
@@ -45,6 +49,10 @@ def main():
     from jpeg2png_tpu.utils.timing import synth_coefs
 
     datas, quants, samps = synth_coefs(args.nby, args.nbx)
+    if args.transpose:
+        from jpeg2png_tpu.models.solver import transpose_problem
+
+        datas, quants, samps = transpose_problem(datas, quants, samps)
 
     if args.striped:
         from jpeg2png_tpu.parallel.mesh import stripe_mesh
