@@ -571,7 +571,8 @@ def supports(C: int, H: int, W: int, samps, geoms_full_canvas: bool) -> bool:
     # and quant rasters stream per stripe) + ~12 MB for stencil
     # temporaries and tiles (SH<=64 in the wide regime keeps them
     # small), against ~124 MB of physical v5e VMEM.  Probed round 2:
-    # 2.21 MP (state ~95 MB) runs at full speed (~8400 MP*iter/s);
+    # 2.21 MP (state ~95 MB) runs at full speed (387 us/iter traced,
+    # ~5,700 MP*iter/s — the ~8400 once quoted here was harness noise);
     # 2.43 MP (~103 MB) starts spilling (~4700) but still well beats
     # the two-kernel tier; beyond this gate it would degrade past it.
     canvases = 3 * 4 * C * H_pad * W_pad

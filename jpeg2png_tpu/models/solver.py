@@ -815,9 +815,15 @@ def transpose_problem(datas, quants, samps):
     """The x<->y transposed problem: block grids and the entries of
     every 8x8 block transpose, quant tables transpose, sampling factors
     swap.  solve(transpose).swapaxes(1, 2) == solve(original) because
-    the whole objective is transpose-invariant."""
-    datas_t = [np.transpose(np.asarray(d), (1, 0, 3, 2)) for d in datas]
-    quants_t = [np.asarray(q).T for q in quants]
+    the whole objective is transpose-invariant.
+
+    Device arrays transpose ON DEVICE: np.asarray here would fetch the
+    coefficient planes back through the remote-TPU tunnel (~40 MB/s)
+    and re-upload the transposed copies on EVERY solve call — ~0.7 s of
+    per-call overhead for a 6 MP canvas (measured; it dominated the
+    bench wall clock before this was jnp)."""
+    datas_t = [jnp.transpose(jnp.asarray(d), (1, 0, 3, 2)) for d in datas]
+    quants_t = [jnp.asarray(q).T for q in quants]
     samps_t = [(sx, sy) for (sy, sx) in samps]
     return datas_t, quants_t, samps_t
 

@@ -53,9 +53,26 @@ def synth_coefs(nby, nbx, seed=0):
     return datas, quants, [(1, 1), (2, 2), (2, 2)]
 
 
+def _preupload(datas, quants):
+    """Upload coefficient planes to the device ONCE.
+
+    solve_joint/solve_striped call jnp.asarray on their inputs, a no-op
+    for committed device arrays — but for numpy inputs every timed call
+    re-uploads ~20-40 MB through the remote-TPU tunnel (~40 MB/s), and
+    that 0.3-1 s of jittery transfer swamps the ~0.2 s iteration delta
+    the marginal measures (a recorded striped 413 MP*iter/s was really
+    3,900 with pre-uploaded inputs)."""
+    import jax.numpy as jnp
+
+    return ([jnp.asarray(d) for d in datas],
+            [jnp.asarray(q) for q in quants])
+
+
 def joint_timer(datas, quants, samps, reps):
     """-> timed(iters): best wall seconds of a solve_joint over reps."""
     from jpeg2png_tpu.models.solver import solve_joint
+
+    datas, quants = _preupload(datas, quants)
 
     def timed(iters):
         best = float("inf")
@@ -81,6 +98,7 @@ def striped_timer(datas, quants, samps, reps, n_stripes=1):
 
     mesh = stripe_mesh(n_stripes)
     use_pallas = jax.default_backend() == "tpu"
+    datas, quants = _preupload(datas, quants)
 
     def timed(iters):
         best = float("inf")
