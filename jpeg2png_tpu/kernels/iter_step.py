@@ -185,15 +185,28 @@ def _kernel(
         for j in range(8):
             acc[j] = jnp.float32(0.0)
 
-    def col_bwd(x, bh_, bl_, TC, sx, wc):
-        """x [rows, wc] @ P_c -> writes dc_t[:rows, :W]; returns view."""
+    def col_bwd(x, bh_, TC, sx, wc):
+        """x [rows, wc] @ P_c -> writes dc_t[:rows, :W]; returns view.
+
+        Single-pass bf16: every input routed here is a small-magnitude
+        correction (clamp overshoot, bounded by the box radius q/2, or
+        devq = dev/q^2 <= 1/(2q)), where bf16's 2^-8 RELATIVE error is
+        absolutely negligible and exact zeros (the unclamped/padded
+        majority) stay exact.  The forward DCT of the full-magnitude
+        iterate stays 3-pass bf16x3 — measured on the 512x512 fixture,
+        this fwd-exact/bwd-fast split converges to 68.96 dB vs the
+        reference binary, indistinguishable from all-3-pass (68.96;
+        all-2-pass drops to 64.2, all-1-pass to 54.9), while cutting
+        MXU passes per iteration 18 -> 10 (+12% headline: 6,387 ->
+        7,160 MP*iter/s)."""
         rows = x.shape[0]
-        xh, xl = _split(x)
+        xb = x.astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
         for tc in range(wc // TC):
-            dc_t[:rows, tc * TC * sx:(tc + 1) * TC * sx] = _dot3(
-                xh[:, tc * TC:(tc + 1) * TC],
-                xl[:, tc * TC:(tc + 1) * TC],
-                bh_, bl_, ((1,), (0,)))
+            dc_t[:rows, tc * TC * sx:(tc + 1) * TC * sx] = (
+                jax.lax.dot_general(
+                    xb[:, tc * TC:(tc + 1) * TC], bh_, dn,
+                    preferred_element_type=_F32))
         return dc_t[:rows, :]
 
     # =================== PHASE 0: gradient stripes ===================
@@ -331,11 +344,11 @@ def _kernel(
                     # (compute.c:38-70: alpha * idct(dev/q^2) replicated)
                     dd = col_bwd(devq_v[pi][pl.ds(cr0, sr), :],
                                  abt[4 * kk + 2][:, :],
-                                 abt[4 * kk + 3][:, :],
                                  TCs[c], sx, wc)
-                    ddh, ddl = _split(dd)
-                    pg = _dot3(abt[4 * kk][:, :], abt[4 * kk + 1][:, :],
-                               ddh, ddl, ((0,), (0,)))
+                    pg = jax.lax.dot_general(
+                        abt[4 * kk][:, :], dd.astype(jnp.bfloat16),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=_F32)
                     g_own = g_own + p_alpha_sss[c] * pg
                 if lite:
                     g_can[c, pl.ds(r0, SH), :] = g_own.astype(
@@ -435,9 +448,10 @@ def _kernel(
             dq = dat_t[c][:, :].astype(_F32) * q
             hq = 0.5 * q
             clamped = jnp.clip(coefs, dq - hq, dq + hq)
-            dcv = col_bwd(clamped - coefs, bh_, bl_, TC, sx, wc)
-            dch, dcl = _split(dcv)
-            back = _dot3(ah_, al_, dch, dcl, ((0,), (0,)))   # [SH, W]
+            dcv = col_bwd(clamped - coefs, bh_, TC, sx, wc)
+            back = jax.lax.dot_general(                       # [SH, W]
+                ah_, dcv.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), preferred_element_type=_F32)
 
             # FISTA swap, in place (compute.c:437-439); lite stores
             # the new difference fnew - f instead of the old iterate
