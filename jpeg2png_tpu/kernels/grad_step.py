@@ -158,22 +158,21 @@ def _expand_devq(x, ah, al_, bh, bl_, dc_t, sr, wc, sx):
     subsampling footprint) — iter_step.py's stencil-phase expansion,
     used by the lite kernels (kernels/stripe_grad.py).
 
-    devq is ALREADY bf16: its (hi, lo) split has an exactly-zero lo,
-    so the column pass needs only the x*bh + x*bl terms (2 MXU
-    passes, not 3).  dc_t is a [>= sr, W] f32 VMEM scratch."""
-    from jpeg2png_tpu.kernels.project_step import _dot3, _split
-
+    devq is a small-magnitude correction (dev/q^2 <= 1/(2q)) already
+    in bf16, so both transform passes run single-pass bf16 (bf16's
+    relative error is absolutely negligible there and exact zeros stay
+    exact — see kernels/iter_step.py col_bwd for the measured accuracy
+    evidence): 2 MXU passes total, not 5.  dc_t is a [>= sr, W] f32
+    VMEM scratch."""
     TCs = 128 * sx
     for tc in range(wc // 128):
         xs = x[:, tc * 128:(tc + 1) * 128]
         dn = (((1,), (0,)), ((), ()))
-        dc_t[:sr, tc * TCs:(tc + 1) * TCs] = (
-            jax.lax.dot_general(
-                xs, bh, dn, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                xs, bl_, dn, preferred_element_type=jnp.float32))
-    ddh, ddl = _split(dc_t[:sr, :])
-    return _dot3(ah, al_, ddh, ddl, ((0,), (0,)))
+        dc_t[:sr, tc * TCs:(tc + 1) * TCs] = jax.lax.dot_general(
+            xs, bh, dn, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        ah, dc_t[:sr, :].astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _kernel(

@@ -88,14 +88,23 @@ def _stripe_math(scale, e_t, g_t, lo_t, hi_t, dq_t, iq_t,
         return cf_t[:, :]
 
     def col_bwd(x):
-        """x [RCc, WC] @ P_c -> [RCc, W] via dc_t tiles."""
-        xh, xl = _split(x)
+        """x [RCc, WC] @ P_c -> [RCc, W] via dc_t tiles.
+
+        Single-pass bf16: every input routed here is a small-magnitude
+        correction (clamp overshoot, bounded by the box radius q/2, or
+        devq = dev/q^2 <= 1/(2q)) where bf16's relative error is
+        absolutely negligible and exact zeros (the unclamped majority)
+        stay exact — see kernels/iter_step.py col_bwd for the measured
+        accuracy evidence (converged PSNR identical to all-3-pass)."""
+        xb = x.astype(_BF16)
+        dn = (((1,), (0,)), ((), ()))
         for tc in range(WC // TC):
-            dc_t[:, tc * TCs:(tc + 1) * TCs] = _dot3(
-                xh[:, tc * TC:(tc + 1) * TC],
-                xl[:, tc * TC:(tc + 1) * TC],
-                bh, bl, ((1,), (0,)))
+            dc_t[:, tc * TCs:(tc + 1) * TCs] = jax.lax.dot_general(
+                xb[:, tc * TC:(tc + 1) * TC], bh, dn,
+                preferred_element_type=_F32)
         return dc_t[:, :]
+
+    rb_dn = (((0,), (0,)), ((), ()))   # single-pass bf16 row expansion
 
     # the projection is independent per 8*sy-row block, so the stripe
     # is processed in RC-pixel-row chunks end-to-end
@@ -111,16 +120,16 @@ def _stripe_math(scale, e_t, g_t, lo_t, hi_t, dq_t, iq_t,
         hi = hi_t[c0:c0 + RCc, :]
         clamped = jnp.clip(coefs, lo, hi)
         dc = col_bwd(clamped - coefs)                    # [RCc, W]
-        dch, dcl = _split(dc)
-        back = _dot3(ah, al, dch, dcl, ((0,), (0,)))     # [RC, W]
+        back = jax.lax.dot_general(                      # [RC, W]
+            ah, dc.astype(_BF16), rb_dn, preferred_element_type=_F32)
         out_t[p0:p0 + RC, :] = fmid + ss * back
 
         if with_prob:
             devp = (clamped - dq_t[c0:c0 + RCc, :]) * iq_t[c0:c0 + RCc, :]
             acc[dist_slot] = acc[dist_slot] + 0.5 * jnp.sum(devp * devp)
             dd = col_bwd(devp * iq_t[c0:c0 + RCc, :])
-            ddh, ddl = _split(dd)
-            pgb = _dot3(ah, al, ddh, ddl, ((0,), (0,)))
+            pgb = jax.lax.dot_general(
+                ah, dd.astype(_BF16), rb_dn, preferred_element_type=_F32)
             pg_t[p0:p0 + RC, :] = pa_ss_scale * pgb
 
 
@@ -675,12 +684,13 @@ def _stripe_math_lite(scale, factor, f_t, d_t, g_t, dat_t, q_t,
         return cf_t[:, :]
 
     def col_bwd(x):
-        xh, xl = _split(x)
+        # single-pass bf16 on the clamp correction — see _stripe_math
+        xb = x.astype(_BF16)
+        dn = (((1,), (0,)), ((), ()))
         for tc in range(WC // TC):
-            dc_t[:, tc * TCs:(tc + 1) * TCs] = _dot3(
-                xh[:, tc * TC:(tc + 1) * TC],
-                xl[:, tc * TC:(tc + 1) * TC],
-                bh, bl, ((1,), (0,)))
+            dc_t[:, tc * TCs:(tc + 1) * TCs] = jax.lax.dot_general(
+                xb[:, tc * TC:(tc + 1) * TC], bh, dn,
+                preferred_element_type=_F32)
         return dc_t[:, :]
 
     for rc in range(SH // RC):
@@ -703,8 +713,9 @@ def _stripe_math_lite(scale, factor, f_t, d_t, g_t, dat_t, q_t,
         hq = 0.5 * q
         clamped = jnp.clip(coefs, dq - hq, dq + hq)
         dc = col_bwd(clamped - coefs)                    # [RCc, W]
-        dch, dcl = _split(dc)
-        back = _dot3(ah, al, dch, dcl, ((0,), (0,)))     # [RC, W]
+        back = jax.lax.dot_general(                      # [RC, W]
+            ah, dc.astype(_BF16), (((0,), (0,)), ((), ())),
+            preferred_element_type=_F32)
         fnew = fmid + ss * back
         out_t[p0:p0 + RC, :] = fnew
         dn_t[p0:p0 + RC, :] = (fnew - fv).astype(_BF16)
