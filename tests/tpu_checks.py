@@ -367,10 +367,40 @@ def main():
 
     _orig_sup, _orig_lit = _is.supports, _is.supports_lite
     _is.supports = lambda *a, **k: False
-    _is.supports_lite = lambda *a, **k: False
     solver_mod._build_solver.cache_clear()
     solver_mod._chunk_step_fn.cache_clear()
     try:
+        # CONVERGED mega-lite: with only the f32 whole-solve gate off,
+        # the 512px fixture dispatches to the bf16-side-canvas
+        # whole-solve kernel; hold it to the reference binary's own
+        # -i 1000 golden like the other tiers
+        geoms512m = tuple(
+            solver_mod.ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+            for d, (sy, sx) in zip(datas, samps))
+        check("forced 512px dispatches to mega-lite",
+              active_tier(geoms512m, True) == "mega-lite",
+              active_tier(geoms512m, True))
+        gold1k_ml = FIXDIR / "golden" / "photo512_q10_420_i1000.png"
+        if gold1k_ml.exists():
+            from jpeg2png_tpu.ops.color import ycbcr_to_rgb_packed
+            from tests.pngdec import decode_png
+            import jax.numpy as jnp
+
+            fd_ml1k, _ = solve_joint(datas, quants, samps, 0.3,
+                                     [0.001] * 3, 1000, use_pallas=True)
+            fd_ml1k = np.asarray(fd_ml1k)
+            hm, wm = img.height, img.width
+            pix_ml = np.asarray(ycbcr_to_rgb_packed(
+                jnp.asarray(fd_ml1k[0, :hm, :wm] + 128.0),
+                jnp.asarray(fd_ml1k[1, :hm, :wm]),
+                jnp.asarray(fd_ml1k[2, :hm, :wm]), 8))
+            psnr = _psnr(pix_ml, decode_png(gold1k_ml.read_bytes()))
+            check("mega-lite CONVERGED (-i 1000) vs reference binary",
+                  psnr > 55, f"psnr={psnr:.2f} dB")
+
+        _is.supports_lite = lambda *a, **k: False
+        solver_mod._build_solver.cache_clear()
+        solver_mod._chunk_step_fn.cache_clear()
         geoms512 = tuple(
             solver_mod.ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
             for d, (sy, sx) in zip(datas, samps))
@@ -400,6 +430,27 @@ def main():
         psnr = _psnr(fd_tl3, fx3)
         check("two-lite 600x400 (padded) vs xla @50", psnr > 55,
               f"psnr={psnr:.2f} dB")
+        # CONVERGED two-lite: -i 1000 vs the reference binary's own
+        # golden — the same convergence-equivalence bar the fused path
+        # holds (README.md:140-143), through the bf16-state pipeline
+        # and its single-pass-bf16 backward DCT
+        gold1k_tl = FIXDIR / "golden" / "photo512_q10_420_i1000.png"
+        if gold1k_tl.exists():
+            from jpeg2png_tpu.ops.color import ycbcr_to_rgb_packed
+            from tests.pngdec import decode_png
+            import jax.numpy as jnp
+
+            fd_tl1k, _ = solve_joint(datas, quants, samps, 0.3,
+                                     [0.001] * 3, 1000, use_pallas=True)
+            fd_tl1k = np.asarray(fd_tl1k)
+            ht, wt = img.height, img.width
+            pix_tl = np.asarray(ycbcr_to_rgb_packed(
+                jnp.asarray(fd_tl1k[0, :ht, :wt] + 128.0),
+                jnp.asarray(fd_tl1k[1, :ht, :wt]),
+                jnp.asarray(fd_tl1k[2, :ht, :wt]), 8))
+            psnr = _psnr(pix_tl, decode_png(gold1k_tl.read_bytes()))
+            check("two-lite CONVERGED (-i 1000) vs reference binary",
+                  psnr > 55, f"psnr={psnr:.2f} dB")
     finally:
         _is.supports, _is.supports_lite = _orig_sup, _orig_lit
         solver_mod._build_solver.cache_clear()
