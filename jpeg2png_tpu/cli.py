@@ -179,6 +179,8 @@ def main(argv=None) -> int:
             outfiles.append(outfile)
 
     # lazy imports so --help/--version don't pay for jax startup
+    from jpeg2png_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if args.tpu_distributed:
         from jpeg2png_tpu.parallel.distributed import initialize
         initialize()
