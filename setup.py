@@ -5,18 +5,9 @@
 
 from setuptools import Extension, setup
 
+# project metadata and the console-script entry point live in
+# pyproject.toml; this file only declares the C extensions
 setup(
-    name="jpeg2png_tpu",
-    version="0.1.0",
-    packages=[
-        "jpeg2png_tpu",
-        "jpeg2png_tpu.ops",
-        "jpeg2png_tpu.models",
-        "jpeg2png_tpu.kernels",
-        "jpeg2png_tpu.parallel",
-        "jpeg2png_tpu.io",
-        "jpeg2png_tpu.utils",
-    ],
     ext_modules=[
         Extension(
             "jpeg2png_tpu.io._jpegio",
