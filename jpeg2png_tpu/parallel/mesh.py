@@ -17,13 +17,26 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def _take(n_devices: Optional[int], what: str) -> Sequence:
+    """The first `n_devices` global devices; an explicit request for
+    more than exist is an error, never a silent truncation (a "striped
+    over 8" solve that quietly ran on 1 device hides both the perf and
+    the sharding-validity signal)."""
+    devices = jax.devices()
+    if n_devices is None:
+        return devices
+    if n_devices > len(devices):
+        raise ValueError(
+            f"need {n_devices} devices for a {n_devices}-way {what} "
+            f"mesh, have {len(devices)}")
+    return devices[:n_devices]
+
+
 def stripe_mesh(n_devices: Optional[int] = None,
                 devices: Optional[Sequence] = None) -> Mesh:
     """1-D mesh over `n_devices` (default: all) with axis "y"."""
     if devices is None:
-        devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[:n_devices]
+        devices = _take(n_devices, "stripe")
     return Mesh(np.asarray(devices), ("y",))
 
 
@@ -32,9 +45,7 @@ def batch_mesh(n_devices: Optional[int] = None,
     """1-D mesh with axis "batch" — pure data parallelism over images
     (the reference's OpenMP-over-files analog, jpeg2png.c:330-337)."""
     if devices is None:
-        devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[:n_devices]
+        devices = _take(n_devices, "batch")
     return Mesh(np.asarray(devices), ("batch",))
 
 

@@ -71,6 +71,20 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
 
     live = (progress is not None or metrics_stream is not None)
 
+    if stripes > 1:
+        # degrade loudly, never silently: an unsatisfiable stripe
+        # request clamps to the real device count with a warning (the
+        # mesh constructors themselves refuse to truncate — mesh.py)
+        import sys
+
+        import jax
+        avail = len(jax.devices())
+        if stripes > avail:
+            print(f"jpeg2png_tpu: --tpu-stripes {stripes} exceeds the "
+                  f"{avail} available device(s); striping over {avail}",
+                  file=sys.stderr)
+            stripes = avail
+
     metrics_out = {}
     if stripes > 1 and (not cfg.separate_components or C == 1):
         from jpeg2png_tpu.parallel.mesh import stripe_mesh

@@ -331,3 +331,40 @@ def test_striped_chunked_matches_one_shot():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(fd_c), np.asarray(fd_1),
                                atol=1e-4)
+
+
+def test_mesh_refuses_silent_truncation():
+    """Explicitly requesting more mesh devices than exist must raise,
+    not silently build a smaller mesh (a 1-device "8-stripe" solve
+    hides both the perf and the sharding-validity signal — the same
+    contract batch_stripe_mesh always had)."""
+    from jpeg2png_tpu.parallel.mesh import batch_mesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="have"):
+        stripe_mesh(n + 1)
+    with pytest.raises(ValueError, match="have"):
+        batch_mesh(n + 1)
+    # default (all devices) and exact requests still fine
+    assert stripe_mesh().devices.size == n
+    assert stripe_mesh(n).devices.size == n
+
+
+def test_pipeline_clamps_oversized_stripes(fixtures_dir, capsys):
+    """--tpu-stripes N > device count degrades loudly: warning on
+    stderr, solve striped over all real devices, same pixels."""
+    from jpeg2png_tpu.io import read_jpeg
+    from jpeg2png_tpu.pipeline import smooth_decode
+    from jpeg2png_tpu.utils.config import SolverConfig
+
+    img = read_jpeg(fixtures_dir / "photo600x400_q20_420.jpg")
+    cfg = SolverConfig(iterations=[3] * 4)
+    n = len(jax.devices())
+    res = smooth_decode(img, cfg, stripes=n + 37)
+    err = capsys.readouterr().err
+    assert f"exceeds the {n} available" in err
+    ref = smooth_decode(img, cfg, stripes=n)
+    assert res.pixels.shape == ref.pixels.shape == (400, 600, 3)
+    mse = ((res.pixels.astype(np.float64)
+            - ref.pixels.astype(np.float64)) ** 2).mean()
+    assert mse < 1e-12
