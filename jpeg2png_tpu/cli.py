@@ -42,9 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="Silky smooth JPEG decoding on TPU — recover the "
         "smoothest image that re-encodes to the input JPEG.",
         epilog="Progress note: the solve runs on-device; the bar's "
-        "total counts iterations but advances in resumable device "
-        "chunks (roughly 8-50 iterations each), and solves of <= 16 "
-        "iterations tick once per file on completion.  In multi-host "
+        "total counts iterations and advances in resumable device "
+        "chunks (per iteration for solves of <= 16 iterations, "
+        "roughly 8-50 iterations each beyond that).  In multi-host "
         "runs (--tpu-distributed) the PNG/CSV/progress writers run on "
         "process 0 only, and with --tpu-batch each process solves its "
         "own share of the file list (the CSV then covers process 0's "

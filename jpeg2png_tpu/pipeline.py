@@ -52,8 +52,14 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
     samps = [(p.h_samp, p.w_samp) for p in img.planes]
     C = img.nchannel
 
-    # chunked execution once there is someone to tell about progress
-    # and enough iterations for intermediate reports to exist
+    # chunked execution once there is someone to tell about progress.
+    # Short solves (<= 16 iterations) chunk PER ITERATION so the bar
+    # ticks with the reference's fidelity (progressbar.c:37-47 redraws
+    # every iteration); longer solves use the default 8-50 chunk, which
+    # amortizes dispatch overhead at the same visual granularity.
+    def _chunk_for(iters):
+        return 1 if iters <= 16 else None
+
     def chunked_solve(ds, qs, ss, w, pw, iters, channel_id):
         from jpeg2png_tpu.models.solver import solve_joint_chunked
 
@@ -66,6 +72,7 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
 
         return solve_joint_chunked(
             ds, qs, ss, w, pw, iters, on_chunk=on_chunk,
+            chunk=_chunk_for(iters),
             simd_compat_logging=cfg.simd_compat_logging,
             dtype=cfg.dtype)
 
@@ -74,15 +81,22 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
     if stripes > 1:
         # degrade loudly, never silently: an unsatisfiable stripe
         # request clamps to the real device count with a warning (the
-        # mesh constructors themselves refuse to truncate — mesh.py)
+        # mesh constructors themselves refuse to truncate — mesh.py).
+        # The warning is host-side output, so like the CSV/progress/PNG
+        # writes it prints on rank 0 only.
         import sys
 
         import jax
+
+        from jpeg2png_tpu.parallel.distributed import is_primary
         avail = len(jax.devices())
         if stripes > avail:
-            print(f"jpeg2png_tpu: --tpu-stripes {stripes} exceeds the "
-                  f"{avail} available device(s); striping over {avail}",
-                  file=sys.stderr)
+            if is_primary():
+                what = (f"striping over {avail}" if avail > 1 else
+                        "falling back to the single-device solver")
+                print(f"jpeg2png_tpu: --tpu-stripes {stripes} exceeds "
+                      f"the {avail} available device(s); {what}",
+                      file=sys.stderr)
             stripes = avail
 
     metrics_out = {}
@@ -94,7 +108,7 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
         # the stripe grid with frozen/FREE boxes and crops afterwards
         channel_id = 3 if C > 1 else 0
         on_chunk = None
-        if live and cfg.iterations[0] > 16:
+        if live and cfg.iterations[0] > 0:
             def on_chunk(done, chunk_metrics):
                 if progress:
                     progress.increment(chunk_metrics.shape[0])
@@ -105,7 +119,8 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
         fdata, metrics = solve_striped(
             datas, quants, samps, cfg.weights[0], cfg.pweights[:C],
             cfg.iterations[0], stripe_mesh(stripes),
-            cfg.simd_compat_logging, on_chunk=on_chunk)
+            cfg.simd_compat_logging, on_chunk=on_chunk,
+            chunk=_chunk_for(cfg.iterations[0]))
         # under multi-host execution the striped result is sharded
         # across processes: all-gather it once, here at the very end
         from jpeg2png_tpu.parallel.distributed import gather_output
@@ -133,7 +148,7 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
         for c in range(C):
             s = cfg.channel(c)
             on_chunk = None
-            if live and s.iterations > 16:
+            if live and s.iterations > 0:
                 def on_chunk(done, chunk_metrics, c=c):
                     if progress:
                         progress.increment(chunk_metrics.shape[0])
@@ -143,7 +158,8 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
             fd, metrics = solve_striped(
                 [datas[c]], [quants[c]], [samps[c]], s.weight,
                 [s.pweight], s.iterations, mesh,
-                cfg.simd_compat_logging, on_chunk=on_chunk)
+                cfg.simd_compat_logging, on_chunk=on_chunk,
+                chunk=_chunk_for(s.iterations))
             fd = gather_output(fd)
             metrics = gather_output(metrics)
             metrics_out[c] = np.asarray(metrics)
@@ -155,7 +171,7 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
                     metrics_stream(c, 0, np.asarray(metrics))
     elif not cfg.separate_components or C == 1:
         channel_id = 3 if C > 1 else 0
-        if live and cfg.iterations[0] > 16:
+        if live and cfg.iterations[0] > 0:
             fdata, metrics = chunked_solve(
                 datas, quants, samps, cfg.weights[0],
                 cfg.pweights[:C], cfg.iterations[0], channel_id)
@@ -175,7 +191,7 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
         channels = []
         for c in range(C):
             s = cfg.channel(c)
-            if live and s.iterations > 16:
+            if live and s.iterations > 0:
                 fd, metrics = chunked_solve(
                     [datas[c]], [quants[c]], [samps[c]],
                     s.weight, [s.pweight], s.iterations, c)

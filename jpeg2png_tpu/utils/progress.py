@@ -2,10 +2,11 @@
 
 Same UX as the reference's 70-column bar with redraw suppression
 (reference: progressbar.c:6-66): only repaints when the filled-char
-count or the percentage changes.  Unlike the reference (which ticks
-once per iteration from inside the hot loop, compute.c:449-452), the
-device loop here is a single fused scan, so ticks happen per solve /
-per chunk of iterations from the host.
+count or the percentage changes.  The reference ticks once per
+iteration from inside the hot loop (compute.c:449-452); here the
+device loop runs as resumable chunks and the host ticks after each —
+per iteration for short solves (<= 16 iterations), per 8-50-iteration
+chunk beyond that.
 """
 
 from __future__ import annotations
