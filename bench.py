@@ -91,6 +91,20 @@ def main():
         except Exception:   # noqa: BLE001 - secondary metric only
             out["mp_iter_per_s_striped_6mp"] = None
 
+        # giant-image row (BASELINE config 5 size class): a 25.17 MP
+        # canvas through the two-lite tier on ONE chip — recorded every
+        # round so a large-canvas regression moves a captured number
+        # (VERDICT round-3 item 1; tools/bench_tiers.py also probes
+        # 100.7 MP)
+        try:
+            datas25, quants25, samps25 = synth_coefs(768, 512)
+            mp25 = 768 * 8 * 512 * 8 / 1e6
+            out["mp_iter_per_s_25mp"] = round(marginal_rate(
+                joint_timer(datas25, quants25, samps25, reps=3),
+                mp25, 10, 40), 1)
+        except Exception:   # noqa: BLE001 - secondary metric only
+            out["mp_iter_per_s_25mp"] = None
+
     print(json.dumps(out))
 
 

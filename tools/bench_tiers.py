@@ -10,6 +10,8 @@ dispatch overhead — see bench.py) for each solver tier:
     1.64 MP  1280x1280  whole-solve VMEM kernel at the gate edge
     3.15 MP  2048x1536  big-canvas tier
     6.29 MP  2048x3072  big-canvas tier (the README table row)
+   25.17 MP  6144x4096  giant-image class (BASELINE config 5)
+  100.66 MP  12288x8192 single-chip ceiling probe (~3.3 GB state)
 
 Prints one JSON line per tier; `--update-readme` is a reminder that
 README's tier table is maintained from these numbers.  Large-canvas
@@ -43,6 +45,12 @@ TIERS = [
     ("2.21MP 1536x1440", 192, 180, 60, 260),
     ("3.15MP 2048x1536", 256, 192, 50, 200),
     ("6.29MP 2048x3072", 256, 384, 30, 130),
+    # giant-image class (BASELINE config 5): the two-lite tier carries
+    # these on ONE chip — measured round 4: 25 MP ~4,100, 50 MP ~4,100,
+    # 100.7 MP ~3,800 MP*iter/s (no size cliff; the reference's only
+    # ceiling is its RAM guard, jpeg.c:65-67)
+    ("25.17MP 6144x4096", 768, 512, 10, 40),
+    ("100.66MP 12288x8192", 1536, 1024, 5, 20),
 ]
 
 
