@@ -77,6 +77,15 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
             dtype=cfg.dtype)
 
     live = (progress is not None or metrics_stream is not None)
+    # Multi-controller runs: the chunking DECISION must be rank-uniform.
+    # Observers (progress bar, CSV stream) exist on rank 0 only, and the
+    # striped chunk loop issues a separate collective schedule per chunk
+    # — a rank that one-shots while rank 0 chunks desynchronizes the
+    # Gloo/ICI collectives and kills the whole run.  Every rank chunks;
+    # ranks without observers run no-op callbacks.
+    from jpeg2png_tpu.parallel.distributed import is_multi_process
+    if is_multi_process():
+        live = True
 
     if stripes > 1:
         # degrade loudly, never silently: an unsatisfiable stripe
