@@ -105,6 +105,26 @@ def main():
         except Exception:   # noqa: BLE001 - secondary metric only
             out["mp_iter_per_s_25mp"] = None
 
+        # BASELINE config 4: 100 mixed-size files through the batched
+        # runner (>= 10 sizes, 8 quant tables, mixed subsampling).
+        # files/s and aggregate MP*iter/s are WARM steady-state serving
+        # (the cold pass pays bucketing + compilation; the persistent
+        # XLA cache makes it cheap after the first round);
+        # compiles_warm == 0 is the recompilation-storm gate.
+        try:
+            from jpeg2png_tpu.utils.compile_cache import (
+                enable_persistent_cache)
+            from jpeg2png_tpu.utils.timing import mixed_batch_bench
+            enable_persistent_cache()
+            batched = mixed_batch_bench(
+                100, 50, workdir="/tmp/jpeg2png_tpu_corpus")
+            out["batched_files_per_s"] = batched["files_per_s"]
+            out["batched_mp_iter_per_s"] = batched["mp_iter_per_s"]
+            out["batched_n_buckets"] = batched["n_buckets"]
+            out["batched_compiles_warm"] = batched["compiles_warm"]
+        except Exception:   # noqa: BLE001 - secondary metric only
+            out["batched_files_per_s"] = None
+
     print(json.dumps(out))
 
 

@@ -229,10 +229,13 @@ def main(argv=None) -> int:
         from jpeg2png_tpu.io import write_png
         from jpeg2png_tpu.runner import decode_files_batched
 
+        # the runner owns progress ticking: dynamic-extent buckets tick
+        # per iteration chunk DURING the solve (solve_bucket on_chunk),
+        # exact-geometry buckets when each bucket returns
         pixels = decode_files_batched(
             args.inputs, cfg, bits,
             io_threads=args.threads or 8, logger=logger, errors=errors,
-            data_parallel=args.threads)
+            data_parallel=args.threads, progress=progress)
         for infile, outfile in pairs:
             if infile not in pixels:
                 continue   # read/solve failure already recorded
@@ -240,9 +243,6 @@ def main(argv=None) -> int:
                 write_png(outfile, pixels[infile], bits)
             except (ValueError, OSError) as e:
                 errors.append(f"{infile}: {e}")
-                continue
-            if progress:
-                progress.increment(cfg.iterations[0])
     # per-image error isolation: one bad file doesn't kill the batch
     # (improvement over the reference, where die() exits, SURVEY.md §5)
     elif args.threads and args.threads > 1 and nin > 1 and not multi_process:

@@ -74,7 +74,8 @@ def _shift_y(a, delta, rows, h):
     return jnp.where((src >= 0) & (src < h), rolled, 0.0)
 
 
-def _stencil_terms(fl, rows, cols, HT, WT, H, W, weight, own):
+def _stencil_terms(fl, rows, cols, HT, WT, H, W, weight, own,
+                   dynamic=False):
     """Joint TV + TGV2 gather stencil (compute.c:73-197) on the
     extrapolated tiles `fl` (per-channel list of [T, W]).
 
@@ -82,7 +83,12 @@ def _stencil_terms(fl, rows, cols, HT, WT, H, W, weight, own):
     objective contributions are already summed over the `own` rows
     (tv2_contrib is None when the TGV2 weight is 0).  Shared by the
     f32 and the lite kernels — the stencil math is identical; only the
-    state dtypes around it differ."""
+    state dtypes around it differ.
+
+    dynamic=True means HT/WT are RUNTIME scalars (dynamic-extent
+    bucketed serving): the pad-boundary masks are then emitted
+    unconditionally, since whether the true edge sits inside the
+    padded canvas is no longer a trace-time fact."""
     C = len(fl)
     gx = [None] * C
     gy = [None] * C
@@ -118,7 +124,7 @@ def _stencil_terms(fl, rows, cols, HT, WT, H, W, weight, own):
         for c in range(C):
             g_xx[c] = jnp.where(cols >= 1, gx[c] - _shift_x(gx[c], 1), 0.0)
             g_yx = jnp.where(cols >= 1, gy[c] - _shift_x(gy[c], 1), 0.0)
-            if WT < W:
+            if dynamic or WT < W:
                 # canvas padding: the x-diff of gy at pad col WT is a
                 # spurious -gy[WT-1] (kernels/iter_step.py rationale)
                 g_yx = jnp.where(cols < WT, g_yx, 0.0)
@@ -126,7 +132,7 @@ def _stencil_terms(fl, rows, cols, HT, WT, H, W, weight, own):
                              gx[c] - _shift_y(gx[c], 1, rows, HT), 0.0)
             g_yy[c] = jnp.where(rows >= 1,
                                 gy[c] - _shift_y(gy[c], 1, rows, HT), 0.0)
-            if HT < H:
+            if dynamic or HT < H:
                 # and the y-diff of gx at pad row HT: -gx[HT-1]
                 g_xy = jnp.where(rows < HT, g_xy, 0.0)
                 g_yy[c] = jnp.where(rows < HT, g_yy[c], 0.0)

@@ -398,7 +398,7 @@ def _kernel_lite(
     row0_ref,              # scalar-prefetch (1,) i32 global band row
     *refs,
     C, P, L, W, H2, HT, WT, SH, weight, NS, prob_mask, samps,
-    p_alpha_sss,
+    p_alpha_sss, dynamic=False,
 ):
     """LITE striped variant: bf16 FISTA-difference state + coef-space
     devq prob carry — the two-lite scheme (kernels/grad_step.py
@@ -429,6 +429,11 @@ def _kernel_lite(
         samps[c] for c in range(C) if prob_mask[c]))
     n_samp = len(uniq)
     it = iter(refs)
+    # dynamic-extent (bucketed serving) mode: the TRUE canvas extents
+    # ride in as a third scalar-prefetch array instead of trace-time
+    # constants, so one compiled kernel serves every image padded to
+    # this bucket shape (kernels/iter_step.py dynamic-mode analog)
+    ext_ref = next(it) if dynamic else None
     f_hbms = [next(it) for _ in range(C)]
     d_hbms = [next(it) for _ in range(C)]
     dq_hbms = [next(it) for _ in range(P)]
@@ -454,6 +459,8 @@ def _kernel_lite(
     r0 = pl.multiple_of(k * SH, 16)
     factor = factor_ref[0]
     row0 = row0_ref[0]
+    ht = ext_ref[0] if dynamic else HT
+    wt = ext_ref[1] if dynamic else WT
 
     @pl.when(k == 0)
     def _():
@@ -557,7 +564,7 @@ def _kernel_lite(
                  + factor * d_t[c, :, :].astype(jnp.float32))
 
     grad, tv_c, tv2_c = _stencil_terms(
-        fl, rows, cols, HT, WT, H2, W, weight, own)
+        fl, rows, cols, ht, wt, H2, W, weight, own, dynamic=dynamic)
     acc[C] = acc[C] + tv_c
     if tv2_c is not None:
         acc[C + 1] = acc[C + 1] + tv2_c
@@ -566,7 +573,7 @@ def _kernel_lite(
     rows_own = (jax.lax.broadcasted_iota(jnp.int32, (SH, W), 0)
                 + (row0 + r0))
     cols_own = jax.lax.broadcasted_iota(jnp.int32, (SH, W), 1)
-    pad_mask = (rows_own < HT) & (cols_own < WT)
+    pad_mask = (rows_own < ht) & (cols_own < wt)
 
     prob_idx = {}
     pi = 0
@@ -664,7 +671,8 @@ def supports_lite(C: int, L: int, W: int, samps, prob_mask) -> bool:
 
 def fused_grad_striped_lite(fdatas, ds, devqs, halos, factor, row0,
                             weight: float, samps, p_alpha_sss,
-                            h_pad: int, h_true: int, w_true: int):
+                            h_pad: int, h_true: int, w_true: int,
+                            extents=None):
     """Lite fused extrapolation + TV/TGV2 gradient for one band.
 
     Args:
@@ -681,6 +689,10 @@ def fused_grad_striped_lite(fdatas, ds, devqs, halos, factor, row0,
         samps: per-channel (sy, sx).
         p_alpha_sss: per-channel static p_alpha*sy*sx (0 = prob off).
         h_true, w_true: static TRUE canvas extents (global).
+        extents: optional traced [2] int32 (h_true, w_true) — dynamic-
+            extent mode for bucketed serving of two-lite-class images:
+            h_true/w_true are ignored and ONE compiled kernel serves
+            every image padded to this band shape.
     Returns:
         (grads list of [L, W] bf16, sumsq_local [C], tv_local,
          tv2_local) — partials are LOCAL; psum them.  No extraps
@@ -698,6 +710,7 @@ def fused_grad_striped_lite(fdatas, ds, devqs, halos, factor, row0,
     NS = L // SH
     T = SH + 32
     f_tops, f_bots, d_tops, d_bots = halos
+    dynamic = extents is not None
 
     uniq = list(dict.fromkeys(
         samps[c] for c in range(C) if prob_mask[c]))
@@ -710,10 +723,12 @@ def fused_grad_striped_lite(fdatas, ds, devqs, halos, factor, row0,
 
     kernel = functools.partial(
         _kernel_lite, C=C, P=P, L=L, W=W, H2=int(h_pad),
-        HT=int(h_true), WT=int(w_true), SH=SH,
+        HT=0 if dynamic else int(h_true),
+        WT=0 if dynamic else int(w_true), SH=SH,
         weight=float(weight), NS=NS,
         prob_mask=prob_mask, samps=tuple(samps),
-        p_alpha_sss=tuple(float(p) for p in p_alpha_sss))
+        p_alpha_sss=tuple(float(p) for p in p_alpha_sss),
+        dynamic=dynamic)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
@@ -737,13 +752,17 @@ def fused_grad_striped_lite(fdatas, ds, devqs, halos, factor, row0,
 
     n_in = 2 * C + P + 4 * len(uniq) + 4 * C
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if dynamic else 2,
         grid=(NS,),
         in_specs=[any_spec] * n_in,
         out_specs=[any_spec] * (C + 1),
         scratch_shapes=scratch,
     )
 
+    prefetch = (jnp.reshape(jnp.asarray(factor, _F32), (1,)),
+                jnp.reshape(jnp.asarray(row0, jnp.int32), (1,)))
+    if dynamic:
+        prefetch += (extents.astype(jnp.int32),)
     hwb = jax.ShapeDtypeStruct((L, W), _BF16)
     outs = pl.pallas_call(
         kernel,
@@ -752,8 +771,7 @@ def fused_grad_striped_lite(fdatas, ds, devqs, halos, factor, row0,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(jnp.reshape(jnp.asarray(factor, _F32), (1,)),
-      jnp.reshape(jnp.asarray(row0, jnp.int32), (1,)),
+    )(*prefetch,
       *fdatas, *ds, *devqs, *ab_consts,
       *f_tops, *f_bots, *d_tops, *d_bots)
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import concurrent.futures
 import dataclasses
 import math
+from functools import lru_cache as _functools_lru_cache
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -44,8 +45,8 @@ def geometry_key(img: JpegImage) -> Tuple:
 
 @dataclasses.dataclass
 class BatchResult:
-    fdata: np.ndarray     # [B, C, H, W]
-    metrics: np.ndarray   # [B, iterations, 4]
+    fdata: Optional[np.ndarray]   # [B, C, H, W]; None with finish=
+    metrics: np.ndarray           # [B, iterations, 4]
 
 
 def dp_degree(B: int, requested: Optional[int] = None) -> int:
@@ -89,6 +90,29 @@ def _pad_batch(arrays_tree, B: int, n_dp: int):
         arrays_tree)
 
 
+@_functools_lru_cache(maxsize=64)
+def _batched_solver(geoms, weight, pweights, iterations,
+                    simd_compat_logging, use_pallas, n_dp, C):
+    """Jitted same-geometry batched solver, cached per configuration —
+    rebuilding the jit wrapper per call would re-trace AND re-compile
+    the whole batched solve on every warm serving pass (the
+    recompilation-storm gate test_batched_warm_pass_compiles_nothing
+    caught exactly that)."""
+    solver = _build_solver(
+        geoms, weight, pweights, iterations, simd_compat_logging,
+        "float32", use_pallas)
+    if use_pallas:
+        # the manual-DMA Pallas kernels do not vmap under this Mosaic
+        # version, but they run fine under lax.map: one dispatch per
+        # device, each image solved at full fused-kernel speed (~3x the
+        # vmapped XLA path per image)
+        def body(ds, qs):
+            return jax.lax.map(lambda t: solver(t[0], t[1]), (ds, qs))
+    else:
+        body = jax.vmap(solver, in_axes=([0] * C, [0] * C))
+    return _dp_wrap(body, n_dp)
+
+
 def solve_batched(
     datas: Sequence[Sequence[np.ndarray]],   # [B][C] int16 coef tensors
     quants: Sequence[Sequence[np.ndarray]],  # [B][C] uint16 tables
@@ -111,29 +135,18 @@ def solve_batched(
     )
     if use_pallas is None:
         use_pallas = _pallas_default(geoms)
-    solver = _build_solver(
-        geoms, float(weight), tuple(float(p) for p in pweights),
-        int(iterations), bool(simd_compat_logging), "float32",
-        bool(use_pallas),
-    )
     C = len(samps)
     B = len(datas)
     n_dp = dp_degree(B, data_parallel)
+    batched = _batched_solver(
+        geoms, float(weight), tuple(float(p) for p in pweights),
+        int(iterations), bool(simd_compat_logging), bool(use_pallas),
+        n_dp, C)
     stacked = (
         [np.stack([np.asarray(b[c]) for b in datas]) for c in range(C)],
         [np.stack([np.asarray(b[c]) for b in quants]) for c in range(C)],
     )
     stacked = _pad_batch(stacked, B, n_dp)
-    if use_pallas:
-        # the manual-DMA Pallas kernels do not vmap under this Mosaic
-        # version, but they run fine under lax.map: one dispatch per
-        # device, each image solved at full fused-kernel speed (~3x the
-        # vmapped XLA path per image)
-        def body(ds, qs):
-            return jax.lax.map(lambda t: solver(t[0], t[1]), (ds, qs))
-    else:
-        body = jax.vmap(solver, in_axes=([0] * C, [0] * C))
-    batched = _dp_wrap(body, n_dp)
     fdata, metrics = batched(*jax.tree.map(jnp.asarray, stacked))
     return BatchResult(np.asarray(fdata)[:B], np.asarray(metrics)[:B])
 
@@ -146,6 +159,8 @@ def decode_files_batched(
     logger=None,
     errors: Optional[List[str]] = None,
     data_parallel: Optional[int] = None,
+    progress=None,
+    stats: Optional[dict] = None,
 ) -> Dict[str, "np.ndarray"]:
     """Read, bucket, batch-solve and color-convert many files.
 
@@ -157,6 +172,11 @@ def decode_files_batched(
     to it and the remaining files still decode — the improvement over
     the reference's die()-and-exit (utils.c:11-40).  With errors=None
     the first failure raises (library behavior).
+
+    With `progress`/`logger`, dynamic-extent buckets run chunked so the
+    bar ticks and CSV rows stream DURING the solve (solve_bucket's
+    on_chunk); exact-geometry buckets tick/log when the bucket returns.
+    The bar's total should be len(infiles) * iterations.
     """
     from jpeg2png_tpu.ops.color import gray_packed, ycbcr_to_rgb_packed
 
@@ -207,23 +227,77 @@ def decode_files_batched(
                         img.nchannel, H, W, list(samps), True)):
                 # 2.4-3.7 MP buckets ride the mega-lite kernel
                 # (solve_bucket picks lite from the bucket shape)
-                hb, wb = bucket_shape_for(img)
+                hb, wb = quantized_bucket_for(img)
                 buckets[("dyn", hb, wb, samps)].append(i)
                 continue
+            # past the whole-solve gates: two-lite dynamic-extent
+            # buckets, so assorted big photos (4 MP and up) still share
+            # compilations instead of recompiling per distinct size
+            b2 = two_lite_bucket_for(img, cfg.pweights[:img.nchannel])
+            if b2 is not None:
+                buckets[("dyn2", b2[0], b2[1], samps)].append(i)
+                continue
         buckets[("exact",) + geometry_key(img)].append(i)
+
+    if stats is not None:
+        # observability for benchmarks/tests: how well the corpus
+        # collapsed into shared compilations
+        stats["n_buckets"] = len(buckets)
+        stats["n_dyn_buckets"] = sum(
+            1 for k in buckets if k[0] in ("dyn", "dyn2"))
+        stats["bucket_sizes"] = sorted(
+            (len(v) for v in buckets.values()), reverse=True)
 
     out: Dict[str, np.ndarray] = {}
     for key, members in buckets.items():
         imgs = [images[i] for i in members]
         C = imgs[0].nchannel
         samps = [(p.h_samp, p.w_samp) for p in imgs[0].planes]
+        ch_id = 3 if C > 1 else 0
+        streamed = False
         try:
-            if key[0] == "dyn":
-                res = solve_bucket(
+            if key[0] in ("dyn", "dyn2"):
+                on_chunk = None
+                if logger is not None or progress is not None:
+                    streamed = True
+
+                    def on_chunk(mbs, done, metrics_chunk):
+                        n = metrics_chunk.shape[1]
+                        for bi, m in enumerate(mbs):
+                            if logger is not None:
+                                logger.log_metrics(
+                                    infiles[members[m]], ch_id,
+                                    metrics_chunk[bi],
+                                    start_iteration=done - n)
+                        if progress is not None:
+                            progress.increment(len(mbs) * n)
+                solver_fn = (solve_bucket if key[0] == "dyn"
+                             else solve_bucket_two)
+
+                def finish(mbs, f_dev):
+                    # crop + color-convert ON DEVICE, fetch compact
+                    # uint8/uint16 pixels: fetching the padded f32
+                    # canvases instead (~12 B/px vs 3) was the measured
+                    # warm-serving wall-time floor on the remote link
+                    for bi, m in enumerate(mbs):
+                        im = imgs[m]
+                        h, w = im.height, im.width
+                        fd = f_dev[bi]
+                        if C == 1:
+                            pix = gray_packed(fd[0, :h, :w] + 128.0,
+                                              bits)
+                        else:
+                            pix = ycbcr_to_rgb_packed(
+                                fd[0, :h, :w] + 128.0, fd[1, :h, :w],
+                                fd[2, :h, :w], bits)
+                        out[infiles[members[m]]] = np.asarray(pix)
+
+                res = solver_fn(
                     imgs, (key[1], key[2]),
                     cfg.weights[0], list(cfg.pweights[:C]),
                     cfg.iterations[0], cfg.simd_compat_logging,
-                    data_parallel=data_parallel,
+                    data_parallel=data_parallel, on_chunk=on_chunk,
+                    finish=finish,
                 )
             else:
                 datas = [[p.data for p in im.planes] for im in imgs]
@@ -234,6 +308,8 @@ def decode_files_batched(
                     cfg.iterations[0], cfg.simd_compat_logging,
                     data_parallel=data_parallel,
                 )
+                if progress is not None:
+                    progress.increment(len(members) * cfg.iterations[0])
         except (ValueError, OSError) as e:
             if errors is None:
                 raise
@@ -242,9 +318,11 @@ def decode_files_batched(
             continue
         for bi, i in enumerate(members):
             im = images[i]
-            if logger is not None:
+            if logger is not None and not streamed:
                 logger.log_metrics(infiles[i], 3 if im.nchannel > 1 else 0,
                                    res.metrics[bi])
+            if res.fdata is None:
+                continue   # pixels already produced by finish()
             h, w = im.height, im.width
             fd = res.fdata[bi]
             if C == 1:
@@ -279,18 +357,23 @@ def _np_initial_canvas(planes, H, W, HB, WB):
     compiled init. Returns [C, HB, WB] float32."""
     from jpeg2png_tpu.ops.dct import dct_matrix_f64
 
-    d = dct_matrix_f64()
+    d = dct_matrix_f64().astype(np.float32)
     out = np.zeros((len(planes), HB, WB), np.float32)
     for c, p in enumerate(planes):
-        x = p.data.astype(np.float64) * p.quant.astype(np.float64)
-        # IDCT per block: D^T @ x @ D
-        y = np.einsum("ji,abjk->abik", d, x)
-        y = np.einsum("abik,kj->abij", y, d)
+        x = (p.data.astype(np.float32)
+             * p.quant.astype(np.float32))
+        # IDCT per block: D^T @ x @ D as broadcast BLAS matmuls in f32
+        # (the device solvers start from an f32 decode too; an earlier
+        # f64 einsum form cost ~0.3 s/MP of warm serving time)
+        y = np.matmul(d.T, np.matmul(x, d))
         nby, nbx = y.shape[:2]
         raster = np.moveaxis(y, 2, 1).reshape(nby * 8, nbx * 8)
         ry, rx = raster.shape
         sy, sx = p.h_samp, p.w_samp
-        up = np.repeat(np.repeat(raster, sy, 0), sx, 1)
+        # nearest upsample via broadcast (one copy, vs repeat's two)
+        up = np.broadcast_to(
+            raster[:, None, :, None], (ry, sy, rx, sx)
+        ).reshape(ry * sy, rx * sx)
         # edge-clamped extension to the true canvas (compute.c:298-299)
         up = np.pad(up, ((0, max(0, H - up.shape[0])),
                          (0, max(0, W - up.shape[1]))), mode="edge")
@@ -333,39 +416,341 @@ def bucket_shape_for(img: JpegImage) -> Tuple[int, int]:
     return _pad_shape(H, W, samps)
 
 
+# geometric size ladder for bucket coarsening (~1.2-1.5x steps): the
+# padding waste a rung can add stays modest while assorted photo sizes
+# collapse onto a handful of rungs
+_BUCKET_LADDER = (128, 192, 256, 384, 512, 640, 768, 1024, 1280, 1536,
+                  2048, 2560, 3072, 4096)
+
+
+def quantized_bucket_for(img: JpegImage) -> Tuple[int, int]:
+    """A COARSENED dynamic-extent bucket: the true canvas is rounded up
+    a geometric size ladder before padding, so a realistic corpus of
+    assorted JPEG sizes lands in a few shared bucket shapes (= a few
+    compilations) instead of one per distinct size — the
+    recompilation-storm guard at serving scale (SURVEY.md §7 #6).
+
+    Falls back to the natural (minimal) bucket when coarsening would
+    waste > 1.8x the natural bucket's area or push the bucket past the
+    whole-solve VMEM gates (solve_bucket would refuse it)."""
+    from jpeg2png_tpu.kernels import iter_step
+    from jpeg2png_tpu.models.solver import ChannelGeometry, canvas_shape
+
+    geoms = tuple(ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
+                  for p in img.planes)
+    H, W = canvas_shape(geoms)
+    samps = [(p.h_samp, p.w_samp) for p in img.planes]
+
+    def up(v):
+        for x in _BUCKET_LADDER:
+            if x >= v:
+                return x
+        return v
+
+    natural = iter_step._pad_shape(H, W, samps)
+    coarse = iter_step._pad_shape(up(H), up(W), samps)
+    C = len(samps)
+    if (coarse[0] * coarse[1] <= 1.8 * natural[0] * natural[1]
+            and (iter_step.supports(C, coarse[0], coarse[1], samps, True)
+                 or iter_step.supports_lite(
+                     C, coarse[0], coarse[1], samps, True))):
+        return coarse
+    return natural
+
+
 import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _bucket_solver(bucket, samps, pa_ss, weight, iterations, n_dp=1,
-                   lite=False):
-    """Jitted dynamic-extent bucket solver, cached per configuration
-    (one compilation serves every image and batch size B of the
-    bucket... B still shapes the trace; lax.map keys on B).  n_dp > 1
-    shards the batch over that many devices (shard_map, no
-    collectives)."""
+def _bucket_solver(bucket, samps, pa_ss, weight, n_dp=1, lite=False):
+    """Jitted resumable dynamic-extent bucket step, cached per bucket
+    CONFIGURATION only: the iteration-chunk length and the batch size
+    shape the trace through the inputs (factors [n], stacked [B, ...]),
+    and solve_bucket dispatches in fixed-size chunks — so a bucket
+    compiles at most two artifacts no matter how many images or
+    progress chunks flow through it (the recompilation-storm guard,
+    SURVEY.md §7 #6).  n_dp > 1 shards the batch over that many
+    devices (shard_map, no collectives).
+
+    The step takes and returns the full solver carry (f, fista, devq)
+    per image; chunked execution is bit-identical to one-shot (the
+    bf16 lite carries round-trip exactly through their f32 interface).
+    """
     import jax
-    import jax.numpy as jnp
+
+    from jax.sharding import PartitionSpec as P
 
     from jpeg2png_tpu.kernels import iter_step
-    from jpeg2png_tpu.models.solver import _fista_factors_np
 
     HB, WB = bucket
     C = len(samps)
-    factors_np, _ = _fista_factors_np(int(iterations))
+    P_n = sum(1 for p in pa_ss if p != 0.0)
 
-    def one(t):
-        f0, dat, q, ext, step = t
-        fs = [f0[c] for c in range(C)]
-        dq0 = [jnp.zeros((HB // sy, WB // sx), jnp.float32)
-               for c, (sy, sx) in enumerate(samps) if pa_ss[c] != 0.0]
-        fnews, _, _, partials = iter_step.fused_solve(
-            fs, fs, dq0, jnp.asarray(factors_np), step[0],
+    def one(factors, t):
+        f, fi, dqs, dat, q, ext, step = t
+        fnews, finews, dqnews, partials = iter_step.fused_solve(
+            [f[c] for c in range(C)], [fi[c] for c in range(C)],
+            [dqs[pi] for pi in range(P_n)], factors, step[0],
             [dat[c] for c in range(C)], [q[c] for c in range(C)],
             pa_ss, list(samps), weight, extents=ext, lite=lite)
-        return jnp.stack(fnews), partials
+        # barrier: without it XLA fuses the pallas outputs with the
+        # map body's dynamic-update-slices and stages every output
+        # plane in scoped VMEM at once — >16 MB for multi-member
+        # chunks of >= 0.4 MP buckets ("Ran out of memory in memory
+        # space vmem ... on stack for closed_call")
+        return jax.lax.optimization_barrier(
+            (jnp.stack(fnews), jnp.stack(finews), tuple(dqnews),
+             partials))
 
-    return _dp_wrap(lambda t: jax.lax.map(one, t), n_dp)
+    def body(factors, t):
+        return jax.lax.map(lambda u: one(factors, u), t)
+
+    if n_dp <= 1:
+        return jax.jit(body)
+
+    from jpeg2png_tpu.parallel.mesh import batch_mesh
+
+    mesh = batch_mesh(n_dp, devices=jax.local_devices()[:n_dp])
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P("batch")),
+        out_specs=P("batch"), check_vma=False))
+
+
+@_functools_lru_cache(maxsize=32)
+def _bucket_two_solver(bucket, samps, pa, total_alpha, weight,
+                       simd_compat_logging, n_dp=1):
+    """Jitted resumable dynamic-extent TWO-LITE bucket step, for images
+    past the whole-solve VMEM gates (> ~3.7 MP): the per-iteration bf16
+    pipeline — stripe_grad.fused_grad_striped_lite run on the whole
+    bucket canvas as one zero-halo band + ONE multi-channel
+    project_step.fused_project_multi_lite dispatch — under lax.scan,
+    with each image's TRUE extents and step size as traced scalars
+    (kernels/iter_step.py dynamic-mode analog).  A batch of assorted
+    4-25 MP photos shares this one compiled artifact instead of
+    recompiling per distinct size (SURVEY.md §7 #6 past the mega gate).
+    """
+    import jax
+
+    from jax.sharding import PartitionSpec as P
+
+    from jpeg2png_tpu.kernels import project_step
+    from jpeg2png_tpu.kernels.stripe_grad import fused_grad_striped_lite
+
+    H2, W2 = bucket
+    C = len(samps)
+    pa_sss = tuple(pa[c] * sy * sx for c, (sy, sx) in enumerate(samps))
+    prob_cs = [c for c in range(C) if pa_sss[c] != 0.0]
+
+    def one(factors, t):
+        f, d, dqs, prob0, dat, q, ext, step = t
+
+        def body(carry, factor):
+            fdatas, dds, devqs, prob_dist = carry
+            zf = [jnp.zeros((16, W2), jnp.float32)] * C
+            zd = [jnp.zeros((16, W2), jnp.bfloat16)] * C
+            grads, sumsq, tv, tv2 = fused_grad_striped_lite(
+                list(fdatas), list(dds), list(devqs),
+                (zf, zf, zd, zd), factor, jnp.int32(0),
+                weight, list(samps), pa_sss,
+                h_pad=H2, h_true=0, w_true=0, extents=ext)
+            norms = jnp.sqrt(sumsq)
+            scale = jnp.where(norms == 0.0, 0.0, step[0] / norms)
+            fnews, dnews, devq_news, dists = (
+                project_step.fused_project_multi_lite(
+                    list(fdatas), list(dds), grads, factor, scale,
+                    [dat[c] for c in range(C)],
+                    [q[c] for c in range(C)], pa_sss, list(samps)))
+            prob_next = jnp.float32(0.0)
+            for c in range(C):
+                dd = dists[c]
+                if pa_sss[c] != 0.0 and not simd_compat_logging:
+                    dd = pa[c] * dd
+                prob_next = prob_next + dd
+            objective = (tv + tv2 + prob_dist) / jnp.float32(total_alpha)
+            metrics = jnp.stack([objective, prob_dist, tv, tv2])
+            carry_out = (tuple(fnews), tuple(dnews),
+                         tuple(dv for dv in devq_news if dv is not None),
+                         prob_next)
+            return carry_out, metrics
+
+        carry0 = (tuple(f[c] for c in range(C)),
+                  tuple(d[c] for c in range(C)),
+                  tuple(dqs[pi] for pi in range(len(prob_cs))),
+                  prob0)
+        (fs, dds, dqo, probn), metrics = jax.lax.scan(
+            body, carry0, factors)
+        # barrier: keep XLA from staging the stacked outputs in scoped
+        # VMEM inside the map body fusion (see _bucket_solver.one)
+        return jax.lax.optimization_barrier(
+            (jnp.stack(fs), jnp.stack(dds), tuple(dqo), probn,
+             metrics))
+
+    def step_fn(factors, t):
+        return jax.lax.map(lambda u: one(factors, u), t)
+
+    if n_dp <= 1:
+        return jax.jit(step_fn)
+
+    from jpeg2png_tpu.parallel.mesh import batch_mesh
+
+    mesh = batch_mesh(n_dp, devices=jax.local_devices()[:n_dp])
+    return jax.jit(jax.shard_map(
+        step_fn, mesh=mesh, in_specs=(P(), P("batch")),
+        out_specs=P("batch"), check_vma=False))
+
+
+def two_lite_bucket_for(img: JpegImage, pweights) -> Optional[
+        Tuple[int, int]]:
+    """The two-lite dynamic-extent bucket serving an image past the
+    whole-solve VMEM gates, or None when the lite kernels cannot.
+
+    Tries the ladder-coarsened shape first (shared compilations across
+    assorted big-photo sizes), falling back to the natural minimal
+    bucket when coarsening wastes > 1.8x its area; mirrors
+    solver._two_lite_geometry's gates (including the 2x padding-waste
+    cap vs the true canvas)."""
+    from jpeg2png_tpu.kernels import project_step, stripe_grad
+    from jpeg2png_tpu.models.solver import ChannelGeometry, canvas_shape
+
+    geoms = tuple(ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
+                  for p in img.planes)
+    H, W = canvas_shape(geoms)
+    samps = [(p.h_samp, p.w_samp) for p in img.planes]
+    C = len(samps)
+    prob_mask = tuple(p != 0.0 for p in pweights[:C])
+    wq = 128 * max(sx for _, sx in samps)
+
+    def mk(Hc, Wc):
+        W2 = -(-Wc // wq) * wq
+        H2 = stripe_grad.padded_band_height(Hc, W2, C, samps, prob_mask)
+        if (H2 and stripe_grad.supports_lite(C, H2, W2, samps,
+                                             prob_mask)
+                and project_step.supports_multi_lite(H2, W2, samps)):
+            return (H2, W2)
+        return None
+
+    natural = mk(H, W)
+    if natural is None or natural[0] * natural[1] > 2 * H * W:
+        return None
+
+    def up(v):
+        for x in _BUCKET_LADDER:
+            if x >= v:
+                return x
+        return v
+
+    coarse = mk(up(H), up(W))
+    if (coarse is not None
+            and coarse[0] * coarse[1]
+            <= 1.8 * natural[0] * natural[1]):
+        return coarse
+    return natural
+
+
+def solve_bucket_two(
+    images: Sequence[JpegImage],
+    bucket: Tuple[int, int],
+    weight: float,
+    pweights: Sequence[float],
+    iterations: int,
+    simd_compat_logging: bool = True,
+    data_parallel: Optional[int] = None,
+    on_chunk=None,
+    iter_chunk: Optional[int] = None,
+    finish=None,
+) -> BatchResult:
+    """solve_bucket for the two-lite tier: mixed-size images PAST the
+    whole-solve VMEM gates (4 MP and beyond) share one compiled
+    dynamic-extent per-iteration pipeline.  Same contract as
+    solve_bucket (including the device-side `finish` hook); dispatch
+    is per-n_dp-image chunks (these canvases are large — batching them
+    into one lax.map would multiply resident HBM state for no
+    throughput gain, the map is sequential anyway).
+    """
+    from jpeg2png_tpu.models.solver import (
+        ChannelGeometry, _fista_factors_np, canvas_shape,
+        objective_alphas)
+
+    H2, W2 = bucket
+    samps = [(p.h_samp, p.w_samp) for p in images[0].planes]
+    C = len(samps)
+    pa, total_alpha = objective_alphas(float(weight), pweights, C)
+    pa_ss = tuple(pa[c] * sy * sx for c, (sy, sx) in enumerate(samps))
+    prob_cs = [c for c in range(C) if pa_ss[c] != 0.0]
+
+    f0s, dats, qs, exts, steps = [], [], [], [], []
+    for img in images:
+        geoms = tuple(ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
+                      for p in img.planes)
+        H, W = canvas_shape(geoms)
+        assert H <= H2 and W <= W2, (H, W, bucket)
+        f0s.append(_np_initial_canvas(img.planes, H, W, H2, W2))
+        dd, qq = _np_bucket_consts(img.planes, H, W, H2, W2)
+        dats.append(dd)
+        qs.append(qq)
+        exts.append((H, W))
+        steps.append(math.sqrt(float(H) * float(W)) / 2.0
+                     / math.sqrt(1.0 + iterations))
+
+    B = len(images)
+    n_dp = dp_degree(B, data_parallel)
+    stepper = _bucket_two_solver(
+        (H2, W2), tuple(samps), tuple(pa), float(total_alpha),
+        float(weight), bool(simd_compat_logging), n_dp)
+    factors_np, _ = _fista_factors_np(int(iterations))
+    if iter_chunk is None:
+        iter_chunk = iterations if on_chunk is None else (
+            1 if iterations <= 16
+            else max(8, min(50, iterations // 20 or iterations)))
+
+    if iterations == 0:
+        f0_all = np.stack(f0s)
+        if finish is not None:
+            finish(list(range(B)), jnp.asarray(f0_all))
+            f0_all = None
+        return BatchResult(f0_all, np.zeros((B, 0, 4), np.float32))
+
+    fdata_out = (None if finish is not None
+                 else np.zeros((B, C, H2, W2), np.float32))
+    metrics_out = np.zeros((B, iterations, 4), np.float32)
+    i = 0
+    while i < B:
+        members = list(range(i, min(i + n_dp, B)))
+        sel = members + [members[0]] * (n_dp - len(members))
+        f = jnp.asarray(np.stack([f0s[m] for m in sel]))
+        d = jnp.zeros((n_dp, C, H2, W2), jnp.bfloat16)
+        dqs = tuple(
+            jnp.zeros((n_dp, H2 // samps[c][0], W2 // samps[c][1]),
+                      jnp.bfloat16)
+            for c in prob_cs)
+        prob0 = jnp.zeros((n_dp,), jnp.float32)
+        consts = (
+            [jnp.asarray(np.stack([dats[m][c] for m in sel]))
+             for c in range(C)],
+            [jnp.asarray(np.stack([qs[m][c] for m in sel]))
+             for c in range(C)],
+            jnp.asarray(np.array([exts[m] for m in sel], np.int32)),
+            jnp.asarray(np.array([steps[m] for m in sel],
+                                 np.float32)[:, None]),
+        )
+        done = 0
+        while done < iterations:
+            n = min(iter_chunk, iterations - done)
+            f, d, dqs, prob0, metrics = stepper(
+                jnp.asarray(factors_np[done:done + n]),
+                (f, d, dqs, prob0) + consts)
+            metrics_out[members, done:done + n] = (
+                np.asarray(metrics)[:len(members)])
+            done += n
+            if on_chunk is not None:
+                on_chunk(members,
+                         done, metrics_out[members, done - n:done])
+        if finish is not None:
+            finish(members, f)
+        else:
+            fdata_out[members] = np.asarray(f)[:len(members)]
+        i += n_dp
+    return BatchResult(fdata_out, metrics_out)
 
 
 def solve_bucket(
@@ -376,6 +761,9 @@ def solve_bucket(
     iterations: int,
     simd_compat_logging: bool = True,
     data_parallel: Optional[int] = None,
+    on_chunk=None,
+    iter_chunk: Optional[int] = None,
+    finish=None,
 ) -> BatchResult:
     """Solve mixed-size same-subsampling images through ONE compiled
     dynamic-extent kernel (kernels/iter_step.py).
@@ -384,20 +772,41 @@ def solve_bucket(
     ride in as runtime scalars, so adding a new image size to the
     bucket never recompiles.  Returned fdata is [B, C, HB, WB] (crop
     with each image's height/width).
+
+    Dispatch is chunked on BOTH axes:
+      * images go through the compiled step in fixed-size chunks
+        (8*n_dp, then n_dp for the remainder), so a bucket compiles at
+        most two artifacts for ANY batch size;
+      * with `on_chunk`, iterations run as resumable chunks
+        (`iter_chunk` each; the single-file pipeline's 8-50 default) —
+        bit-identical to one-shot — and
+        `on_chunk(member_indices, done_iterations, metrics_chunk)`
+        fires after each so progress bars tick and CSV rows stream
+        DURING bucket solves, like the reference's in-loop hooks
+        (compute.c:449-452, logger.c:20).
+
+    `finish(member_indices, fdata_device)`, when given, receives each
+    image chunk's solved canvases as a DEVICE array (padded members
+    included at the tail) and BatchResult.fdata is None: the caller
+    crops/color-converts on device and fetches compact pixels, instead
+    of this function fetching the full padded f32 canvases through the
+    (slow) host link — at serving scale the f32 fetch is the wall-time
+    floor, ~12 B/px vs 3 B/px of final pixels.
     """
     import jax
-    import jax.numpy as jnp
 
     from jpeg2png_tpu.models.solver import (
-        ChannelGeometry, canvas_shape, mega_metrics, objective_alphas)
+        ChannelGeometry, _fista_factors_np, canvas_shape, mega_metrics,
+        objective_alphas)
 
     HB, WB = bucket
     samps = [(p.h_samp, p.w_samp) for p in images[0].planes]
     C = len(samps)
     pa, total_alpha = objective_alphas(float(weight), pweights, C)
     pa_ss = tuple(pa[c] * sy * sx for c, (sy, sx) in enumerate(samps))
+    prob_cs = [c for c in range(C) if pa_ss[c] != 0.0]
 
-    f0s, dats, qs, exts, radii = [], [], [], [], []
+    f0s, dats, qs, exts, steps = [], [], [], [], []
     for img in images:
         geoms = tuple(ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
                       for p in img.planes)
@@ -408,13 +817,12 @@ def solve_bucket(
         dats.append(d)
         qs.append(q)
         exts.append((H, W))
-        radii.append(math.sqrt(float(H) * float(W)) / 2.0)
+        # the step size radius/sqrt(1+iters) depends on each image's
+        # TRUE canvas (compute.c:425); it rides in as a runtime scalar
+        # alongside the extents, so mixed canvases share the kernel
+        steps.append(math.sqrt(float(H) * float(W)) / 2.0
+                     / math.sqrt(1.0 + iterations))
 
-    # the step size radius/sqrt(1+iters) depends on each image's TRUE
-    # canvas (compute.c:425); in dynamic-extent mode it rides in as a
-    # runtime scalar alongside the extents, so mixed canvases share the
-    # one compiled kernel
-    steps = [r / math.sqrt(1.0 + iterations) for r in radii]
     B = len(images)
     n_dp = dp_degree(B, data_parallel)
 
@@ -431,25 +839,70 @@ def solve_bucket(
             "VMEM gates (f32 and lite); solve these images individually "
             "via solve_joint / solve_striped instead")
 
-    mapped = _bucket_solver(
-        (HB, WB), tuple(samps), pa_ss, float(weight), int(iterations),
-        n_dp, lite)
-    stacked = (
-        np.stack(f0s),
-        [np.stack([d[c] for d in dats]) for c in range(C)],
-        [np.stack([q[c] for q in qs]) for c in range(C)],
-        np.array(exts, np.int32),
-        np.array(steps, np.float32)[:, None],
-    )
-    stacked = jax.tree.map(jnp.asarray, _pad_batch(stacked, B, n_dp))
-    fd, partials = mapped(stacked)
-    fdata_out = np.asarray(fd)[:B]
-    partials = np.asarray(partials)[:B]
+    stepper = _bucket_solver(
+        (HB, WB), tuple(samps), pa_ss, float(weight), n_dp, lite)
+    factors_np, _ = _fista_factors_np(int(iterations))
+    if iter_chunk is None:
+        iter_chunk = iterations if on_chunk is None else (
+            1 if iterations <= 16
+            else max(8, min(50, iterations // 20 or iterations)))
+
+    if iterations == 0:
+        # degenerate but valid: the initial decode (like solve_joint)
+        f0_all = np.stack(f0s)
+        if finish is not None:
+            finish(list(range(B)), jnp.asarray(f0_all))
+            f0_all = None
+        return BatchResult(f0_all, np.zeros((B, 0, 4), np.float32))
+
+    fdata_out = (None if finish is not None
+                 else np.zeros((B, C, HB, WB), np.float32))
     metrics_out = np.zeros((B, iterations, 4), np.float32)
-    for i in range(B):
-        # same metrics assembly as the solver's fused path (fresh
-        # start: prob row 0 is exactly 0, compute.c:279-286)
-        metrics_out[i], _ = mega_metrics(
-            partials[i], 0.0, pa, total_alpha, simd_compat_logging,
-            xp=np)
+    BC = 8 * n_dp
+    i = 0
+    while i < B:
+        n_img = BC if B - i >= BC else n_dp
+        members = list(range(i, min(i + n_img, B)))
+        sel = members + [members[0]] * (n_img - len(members))
+        f = jnp.asarray(np.stack([f0s[m] for m in sel]))
+        fi = f
+        dqs = tuple(
+            jnp.zeros((n_img, HB // samps[c][0], WB // samps[c][1]),
+                      jnp.float32)
+            for c in prob_cs)
+        consts = (
+            [jnp.asarray(np.stack([dats[m][c] for m in sel]))
+             for c in range(C)],
+            [jnp.asarray(np.stack([qs[m][c] for m in sel]))
+             for c in range(C)],
+            jnp.asarray(np.array([exts[m] for m in sel], np.int32)),
+            jnp.asarray(np.array([steps[m] for m in sel],
+                                 np.float32)[:, None]),
+        )
+        done = 0
+        prob_prev = np.zeros((len(members),), np.float32)
+        while done < iterations:
+            n = min(iter_chunk, iterations - done)
+            f, fi, dqs, partials = stepper(
+                jnp.asarray(factors_np[done:done + n]),
+                (f, fi, dqs) + consts)
+            partials_np = np.asarray(partials)[:len(members)]
+            for bi, m in enumerate(members):
+                # same metrics assembly as the solver's fused path
+                # (fresh start: prob row 0 is exactly 0,
+                # compute.c:279-286; chunk boundaries carry the
+                # one-row prob shift through prob_prev)
+                metrics_out[m, done:done + n], prob_prev[bi] = (
+                    mega_metrics(
+                        partials_np[bi], prob_prev[bi], pa, total_alpha,
+                        simd_compat_logging, xp=np))
+            done += n
+            if on_chunk is not None:
+                on_chunk(members,
+                         done, metrics_out[members, done - n:done])
+        if finish is not None:
+            finish(members, f)
+        else:
+            fdata_out[members] = np.asarray(f)[:len(members)]
+        i += n_img
     return BatchResult(fdata_out, metrics_out)

@@ -89,6 +89,90 @@ def joint_timer(datas, quants, samps, reps):
     return timed
 
 
+class CompileCounter:
+    """Counts XLA backend compilations via jax.monitoring — the
+    recompilation-storm instrument (SURVEY.md §7 #6): a warm serving
+    pass over an already-seen corpus must compile NOTHING."""
+
+    def __init__(self):
+        self.count = 0
+
+    def _listen(self, key, *_args, **_kw):
+        if "backend_compile" in key:
+            self.count += 1
+
+    def __enter__(self):
+        import jax.monitoring as mon
+
+        mon.register_event_duration_secs_listener(self._listen)
+        return self
+
+    def __exit__(self, *exc):
+        import jax.monitoring as mon
+
+        mon.unregister_event_duration_listener(self._listen)
+        return False
+
+
+def mixed_batch_bench(n_files: int = 100, iterations: int = 50,
+                      workdir=None, data_parallel=None) -> dict:
+    """BASELINE config 4: mixed-size corpus through the batched runner.
+
+    Mints a deterministic `n_files`-file corpus (utils/corpus.py), runs
+    decode_files_batched twice — a cold pass that pays bucketing +
+    compilation, and a warm pass measuring steady-state serving — and
+    reports files/s, aggregate MP*iter/s (true-canvas megapixels), the
+    bucket count, and the compile counts of both passes (warm must be
+    0: every shape was already compiled).
+    """
+    import tempfile
+    import time as _time
+
+    from jpeg2png_tpu.io import read_jpeg
+    from jpeg2png_tpu.runner import decode_files_batched
+    from jpeg2png_tpu.utils.config import SolverConfig
+    from jpeg2png_tpu.utils.corpus import mint_corpus
+
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="jp2p_corpus_")
+    files = mint_corpus(workdir, n_files)
+    mp_total = 0.0
+    for f in files:
+        img = read_jpeg(f)
+        H = max(p.ph * p.h_samp for p in img.planes)
+        W = max(p.pw * p.w_samp for p in img.planes)
+        mp_total += H * W / 1e6
+    cfg = SolverConfig(iterations=(iterations,) * 3)
+
+    stats: dict = {}
+    with CompileCounter() as cc:
+        t0 = _time.time()
+        out = decode_files_batched(files, cfg, stats=stats,
+                                   data_parallel=data_parallel)
+        cold_s = _time.time() - t0
+        compiles_cold = cc.count
+    assert len(out) == n_files
+    with CompileCounter() as cc:
+        t0 = _time.time()
+        out = decode_files_batched(files, cfg,
+                                   data_parallel=data_parallel)
+        warm_s = _time.time() - t0
+        compiles_warm = cc.count
+    assert len(out) == n_files
+    return {
+        "n_files": n_files,
+        "iterations": iterations,
+        "mp_total": round(mp_total, 3),
+        "files_per_s": round(n_files / warm_s, 2),
+        "mp_iter_per_s": round(mp_total * iterations / warm_s, 1),
+        "n_buckets": stats.get("n_buckets"),
+        "compiles_cold": compiles_cold,
+        "compiles_warm": compiles_warm,
+        "cold_s": round(cold_s, 2),
+        "warm_s": round(warm_s, 2),
+    }
+
+
 def striped_timer(datas, quants, samps, reps, n_stripes=1):
     """-> timed(iters) for the fused striped body on an n-device mesh."""
     import jax

@@ -368,3 +368,58 @@ def test_pipeline_clamps_oversized_stripes(fixtures_dir, capsys):
     mse = ((res.pixels.astype(np.float64)
             - ref.pixels.astype(np.float64)) ** 2).mean()
     assert mse < 1e-12
+
+
+def test_collective_bytes_per_iteration(interpret_pallas):
+    """Scaling guard at the BYTE level (the count gate's complement):
+    the striped loop body's collective payload must be exactly
+    2 halo ppermutes of [2C*h, W2] f32 (h = 16 for the lite body's
+    bf16 DMA tiling, 8 for the f32 body) + 1 fused [C+3] f32
+    all-reduce.  docs/scaling.md derives the N-chip efficiency
+    projection from exactly these numbers — a payload regression
+    (e.g. an accidental full-band exchange) breaks this test before
+    it silently halves pod-scale efficiency."""
+    import re
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(3)
+    datas, quants, samps = synth(rng, [(16, 16, 1, 1)] * 3)
+    mesh = stripe_mesh(4)
+    C = 3
+
+    from jpeg2png_tpu.parallel.stripes import (
+        _build_striped, padded_striped_shape_lite, striped_carry_kind)
+    geoms = tuple(ChannelGeometry(d.shape[0], d.shape[1], sy, sx)
+                  for d, (sy, sx) in zip(datas, samps))
+    kind = striped_carry_kind(geoms, 4, True, (0.001,) * 3)
+    solver = _build_striped(geoms, 0.3, (0.001,) * 3, 3, True,
+                            mesh, True)
+    import jax.numpy as jnp
+    hlo = solver.lower(
+        [jnp.asarray(d) for d in datas],
+        [jnp.asarray(q) for q in quants]).compile().as_text()
+
+    sizes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f64": 8}
+
+    def op_bytes(opname):
+        total = 0
+        for m in re.finditer(
+                r"= (\w+)\[([\d,]*)\]\S* %s\(" % opname, hlo):
+            n = 1
+            for x in m.group(2).split(","):
+                if x:
+                    n *= int(x)
+            total += sizes[m.group(1)] * n
+        return total
+
+    if kind == "lite":
+        _, _, _, W2, _ = padded_striped_shape_lite(geoms, 4)
+        halo_rows = 16
+    else:
+        _, _, _, W2, _ = padded_striped_shape(geoms, 4)
+        halo_rows = 8
+    expected_perm = 2 * (2 * C * halo_rows * W2) * 4
+    assert op_bytes("collective-permute") == expected_perm
+    # the fused [C+3] f32 vector (+ slack for a layout pad)
+    assert 0 < op_bytes("all-reduce") <= 2 * (C + 3) * 4
