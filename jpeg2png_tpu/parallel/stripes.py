@@ -2,19 +2,26 @@
 
 The multi-chip scaling path (BASELINE.json config 5: a giant image
 sharded into row stripes across N >= 2 hosts).  Each device owns a
-contiguous band of rows of every channel; per iteration:
+contiguous band of rows of every channel; per iteration exactly THREE
+collectives run (gated by tests/test_stripes.py::test_collective_count*
+and ::test_collective_bytes_per_iteration):
 
-  * 1 halo exchange of boundary rows of the iterate (jax.lax.ppermute —
-    ICI neighbours; devices at the global image boundary receive zeros,
+  * 2 batched halo exchanges (jax.lax.ppermute — ICI neighbours, one
+    per direction): every channel's boundary-row slivers of the iterate
+    AND the FISTA companion travel as ONE stacked payload per
+    direction (devices at the global image boundary receive zeros,
     which the gather masks treat as "outside the image"),
   * the fused TV/TGV2 gradient on the halo-extended band — on TPU via
     the striped Pallas kernel (kernels/stripe_grad.py), so every chip
     runs at fused-kernel throughput; pure-XLA fallback via
     ops/tv_halo.py elsewhere,
-  * 1 psum for the per-channel gradient norms — the step normalization
-    is GLOBAL over the whole image (compute.c:200-216), this is the
-    collective the reference's shared-memory design gets for free,
-  * 1 psum for the objective sums (tv, tv2, prob_dist),
+  * 1 fused [C+3] vector psum carrying the per-channel gradient
+    sumsqs — the step normalization is GLOBAL over the whole image
+    (compute.c:200-216), the collective the reference's shared-memory
+    design gets for free — plus tv, tv2, and the PREVIOUS iteration's
+    prob distance (the prob term reads the previous projection,
+    compute.c:381, so deferring it one iteration into the shared
+    vector costs nothing; the carry holds per-device (1,) partials),
   * block-local DCT box projection and prob gradient per band — on TPU
     via kernels/project_step.py (stripe boundaries are 8*h_samp-aligned
     by construction so 8x8 blocks and subsampling footprints never

@@ -43,8 +43,11 @@ def smooth_decode(img: JpegImage, cfg: SolverConfig,
     metrics_chunk) fired DURING the solve — with it (or a progress
     bar) active, long solves run as resumable chunks so the bar ticks
     and the CSV streams mid-solve, like the reference's per-iteration
-    hooks (compute.c:449-452, logger.c:20).  Numerically identical to
-    the one-shot solve.
+    hooks (compute.c:449-452, logger.c:20).  Chunking is bit-identical
+    to the one-shot solve on the whole-solve (mega/mega-lite) kernel
+    and the bucketed tiers; on the two-lite tier the XLA glue between
+    kernels fuses differently per chunk length, a few-ulp drift (see
+    test_runner.py::test_solve_bucket_two_lite_matches_per_image).
     """
     require_supported(img)
     datas = [p.data for p in img.planes]
