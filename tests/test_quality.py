@@ -38,6 +38,10 @@ def psnr(a, b):
     # BASELINE config 3 coverage (VERDICT round-3 item 6):
     ("lineart160x120_q20_420_i1000", 1000),   # full convergence
     ("photo512x384_q25_420", 50),             # realistic resolution
+    # the full sampling matrix at realistic resolution (round-4
+    # VERDICT item 7)
+    ("photo512x384_q30_444", 50),
+    ("lineart512x384_q25_422", 50),
     # photo512x384_q25_420_i1000 (converged AND 512-class) is gated
     # compiled-on-chip in tests.tpu_checks — ~minutes on this CPU path
 ])

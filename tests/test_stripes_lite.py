@@ -218,3 +218,46 @@ def test_f32_striped_body_still_selectable(interpret_pallas,
                           use_pallas=False)
     assert _psnr(fd_s, fd_x) > 60.0
     stripes._build_striped.cache_clear()
+
+
+def test_striped_realistic_band_geometry(interpret_pallas):
+    """Realistic band heights over the 8-device virtual mesh (round-4
+    VERDICT item 6): the dryrun and the parity tests above stripe
+    16-32-row bands, which cannot catch stripe-boundary bugs at the
+    band geometries real giant images produce (halo-staged windows
+    spanning full 64+ row bands, 16-row bf16 alignment across a
+    4:2:0 chroma mix).
+
+    Two rows: the XLA striped body on a ~1 MP canvas (128-row bands),
+    and the interpreted LITE body on the largest canvas that stays
+    tractable in interpreter mode (768x1024, 96-row bands)."""
+    rng = np.random.default_rng(23)
+
+    # XLA body, 1024x1024 4:2:0 over 8 devices -> 128-row bands
+    datas, quants, samps = _synth(
+        rng, [(128, 128, 1, 1), (64, 64, 2, 2), (64, 64, 2, 2)])
+    mesh = _mesh(8)
+    fd_s, m_s = stripes.solve_striped(
+        datas, quants, samps, 0.3, [0.001] * 3, 2, mesh,
+        use_pallas=False)
+    fd_x, m_x = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 2,
+                            use_pallas=False)
+    assert _psnr(fd_s, fd_x) > 60.0
+    np.testing.assert_allclose(np.asarray(m_s)[0], np.asarray(m_x)[0],
+                               rtol=1e-4)
+
+    # interpreted LITE body, 768x1024 4:2:0 over 8 devices -> 96-row
+    # bands (whole halo-staged windows, 16-row-aligned chroma splits)
+    datas, quants, samps = _synth(
+        rng, [(96, 128, 1, 1), (48, 64, 2, 2), (48, 64, 2, 2)])
+    geoms = _geoms(datas, samps)
+    assert stripes.striped_carry_kind(geoms, 8, True, (0.001,) * 3) \
+        == "lite"
+    fd_l, m_l = stripes.solve_striped(
+        datas, quants, samps, 0.3, [0.001] * 3, 2, mesh,
+        use_pallas=True)
+    fd_x, m_x = solve_joint(datas, quants, samps, 0.3, [0.001] * 3, 2,
+                            use_pallas=False)
+    assert _psnr(fd_l, fd_x) > 60.0
+    np.testing.assert_allclose(np.asarray(m_l)[0], np.asarray(m_x)[0],
+                               rtol=1e-4)

@@ -49,6 +49,11 @@ CONFIGS = {
     "lineart160x120_q20_420_i1000": ("lineart", 160, 120, 20, 2, 1000),
     "photo512x384_q25_420": ("photo", 512, 384, 25, 2, 50),
     "photo512x384_q25_420_i1000": ("photo", 512, 384, 25, 2, 1000),
+    # 4:4:4 and 4:2:2 at realistic resolution (round-4 VERDICT item
+    # 7): the quality table spans the full sampling matrix the e2e
+    # golden gates cover, not just 4:2:0 + one thumbnail 4:4:4
+    "photo512x384_q30_444": ("photo", 512, 384, 30, 0, 50),
+    "lineart512x384_q25_422": ("lineart", 512, 384, 25, 1, 50),
 }
 
 
