@@ -105,8 +105,22 @@ def main():
         except Exception:   # noqa: BLE001 - secondary metric only
             out["mp_iter_per_s_25mp"] = None
 
+        # HBM-ceiling row (VERDICT round-4 item 5): 50.33 MP through
+        # the two-lite tier — ~1.7 GB of state; a regression at the
+        # single-chip ceiling moves this recorded number
+        # (tools/bench_tiers.py also probes 100.7 MP)
+        try:
+            datas50, quants50, samps50 = synth_coefs(768, 1024)
+            mp50 = 768 * 8 * 1024 * 8 / 1e6
+            out["mp_iter_per_s_50mp"] = round(marginal_rate(
+                joint_timer(datas50, quants50, samps50, reps=2),
+                mp50, 8, 28), 1)
+        except Exception:   # noqa: BLE001 - secondary metric only
+            out["mp_iter_per_s_50mp"] = None
+
         # BASELINE config 4: 100 mixed-size files through the batched
-        # runner (>= 10 sizes, 8 quant tables, mixed subsampling).
+        # runner (>= 10 sizes incl. 1-8 MP members spanning all three
+        # serving tiers, 8 quant tables, mixed subsampling).
         # files/s and aggregate MP*iter/s are WARM steady-state serving
         # (the cold pass pays bucketing + compilation; the persistent
         # XLA cache makes it cheap after the first round);
@@ -121,7 +135,13 @@ def main():
             out["batched_files_per_s"] = batched["files_per_s"]
             out["batched_mp_iter_per_s"] = batched["mp_iter_per_s"]
             out["batched_n_buckets"] = batched["n_buckets"]
+            out["batched_bucket_classes"] = batched["bucket_classes"]
             out["batched_compiles_warm"] = batched["compiles_warm"]
+            out["batched_mp_total"] = batched["mp_total"]
+            out["batched_stage_breakdown"] = {
+                k: batched[k] for k in (
+                    "warm_read_s", "warm_solve_s",
+                    "upload_mb", "fetch_mb")}
         except Exception:   # noqa: BLE001 - secondary metric only
             out["batched_files_per_s"] = None
 

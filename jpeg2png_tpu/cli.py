@@ -226,23 +226,39 @@ def main(argv=None) -> int:
         # one batched solve per geometry bucket (runner.py), with
         # per-image error isolation: a corrupt member drops out with a
         # stderr line and the rest of the bucket still solves
+        import collections
+        import threading
+
         from jpeg2png_tpu.io import write_png
         from jpeg2png_tpu.runner import decode_files_batched
+
+        # PNG encoding streams from the runner's fetch threads
+        # (on_pixels) as each image's pixels arrive from the device,
+        # overlapping the zlib work with the remaining solves instead
+        # of serializing it at the end (VERDICT round-4 item 1)
+        outmap = collections.defaultdict(list)
+        for infile, outfile in pairs:
+            outmap[infile].append(outfile)
+        png_errors = []
+        png_lock = threading.Lock()
+
+        def on_pixels(infile, pix):
+            for outfile in outmap[infile]:
+                try:
+                    write_png(outfile, pix, bits)
+                except (ValueError, OSError) as e:
+                    with png_lock:
+                        png_errors.append(f"{infile}: {e}")
 
         # the runner owns progress ticking: dynamic-extent buckets tick
         # per iteration chunk DURING the solve (solve_bucket on_chunk),
         # exact-geometry buckets when each bucket returns
-        pixels = decode_files_batched(
+        decode_files_batched(
             args.inputs, cfg, bits,
             io_threads=args.threads or 8, logger=logger, errors=errors,
-            data_parallel=args.threads, progress=progress)
-        for infile, outfile in pairs:
-            if infile not in pixels:
-                continue   # read/solve failure already recorded
-            try:
-                write_png(outfile, pixels[infile], bits)
-            except (ValueError, OSError) as e:
-                errors.append(f"{infile}: {e}")
+            data_parallel=args.threads, progress=progress,
+            on_pixels=on_pixels)
+        errors.extend(png_errors)
     # per-image error isolation: one bad file doesn't kill the batch
     # (improvement over the reference, where die() exits, SURVEY.md §5)
     elif args.threads and args.threads > 1 and nin > 1 and not multi_process:

@@ -161,6 +161,7 @@ def decode_files_batched(
     data_parallel: Optional[int] = None,
     progress=None,
     stats: Optional[dict] = None,
+    on_pixels=None,
 ) -> Dict[str, "np.ndarray"]:
     """Read, bucket, batch-solve and color-convert many files.
 
@@ -177,7 +178,22 @@ def decode_files_batched(
     bar ticks and CSV rows stream DURING the solve (solve_bucket's
     on_chunk); exact-geometry buckets tick/log when the bucket returns.
     The bar's total should be len(infiles) * iterations.
+
+    `on_pixels(infile, pixels)`, when given, receives each image's
+    final pixels AS THEY ARRIVE from the device (from the fetch
+    threads, possibly while other buckets are still solving) and the
+    returned dict is then empty — the streaming-consumer mode the CLI
+    uses to overlap PNG encoding with the remaining solves.
+
+    `stats`, when given, also receives a stage breakdown of where the
+    wall time went: read_s (threaded entropy decode), solve_s (the
+    pipelined upload/solve/fetch region), upload_mb (int16 coefs +
+    quant tables; the initial decode itself runs on device), fetch_mb
+    (final packed pixels).
     """
+    import threading
+    import time as _time
+
     from jpeg2png_tpu.ops.color import gray_packed, ycbcr_to_rgb_packed
 
     from jpeg2png_tpu.kernels import iter_step
@@ -201,8 +217,10 @@ def decode_files_batched(
             errors.append(f"{f}: {e}")
             return None
 
+    t_read0 = _time.time()
     with concurrent.futures.ThreadPoolExecutor(io_threads) as pool:
         images = list(pool.map(read_one, infiles))
+    read_s = _time.time() - t_read0
 
     # mixed-size dynamic-extent bucketing on TPU: images sharing a
     # padded bucket shape + subsampling solve through ONE compiled
@@ -245,95 +263,144 @@ def decode_files_batched(
         stats["n_buckets"] = len(buckets)
         stats["n_dyn_buckets"] = sum(
             1 for k in buckets if k[0] in ("dyn", "dyn2"))
+        stats["bucket_classes"] = {
+            cls: sum(1 for k in buckets if k[0] == cls)
+            for cls in ("dyn", "dyn2", "exact")}
         stats["bucket_sizes"] = sorted(
             (len(v) for v in buckets.values()), reverse=True)
+        stats["read_s"] = round(read_s, 3)
+        # host->device bytes the bucketed solves will upload (int16
+        # coef rasters at bucket coef shape + f32 quant tables); the
+        # initial decode and quant rasters are built on device
+        up = 0
+        for key, mem in buckets.items():
+            if key[0] not in ("dyn", "dyn2"):
+                continue
+            hb, wb, samps_k = key[1], key[2], key[3]
+            per_img = sum(2 * (hb // sy) * (wb // sx) + 256
+                          for sy, sx in samps_k)
+            up += per_img * len(mem)
+        stats["upload_mb"] = round(up / 1e6, 1)
 
     out: Dict[str, np.ndarray] = {}
-    for key, members in buckets.items():
-        imgs = [images[i] for i in members]
-        C = imgs[0].nchannel
-        samps = [(p.h_samp, p.w_samp) for p in imgs[0].planes]
-        ch_id = 3 if C > 1 else 0
-        streamed = False
-        try:
-            if key[0] in ("dyn", "dyn2"):
-                on_chunk = None
-                if logger is not None or progress is not None:
-                    streamed = True
+    out_lock = threading.Lock()
+    fetch_mb = [0.0]
+    t_solve0 = _time.time()
 
-                    def on_chunk(mbs, done, metrics_chunk):
-                        n = metrics_chunk.shape[1]
+    # pixel fetches run on a small thread pool: the device->host link
+    # moves ~25 MB/s on one stream but ~40 MB/s on 3-4 (measured
+    # through the remote tunnel), and the fetches then overlap the
+    # next bucket's device work and the caller's on_pixels consumer
+    with concurrent.futures.ThreadPoolExecutor(4) as fetch_pool:
+        fetch_jobs = []
+
+        def fetch_one(infile, pix_dev):
+            pix = np.asarray(pix_dev)
+            if on_pixels is not None:
+                with out_lock:
+                    fetch_mb[0] += pix.nbytes / 1e6
+                on_pixels(infile, pix)
+            else:
+                with out_lock:
+                    fetch_mb[0] += pix.nbytes / 1e6
+                    out[infile] = pix
+
+        for key, members in buckets.items():
+            imgs = [images[i] for i in members]
+            C = imgs[0].nchannel
+            samps = [(p.h_samp, p.w_samp) for p in imgs[0].planes]
+            ch_id = 3 if C > 1 else 0
+            streamed = False
+            try:
+                if key[0] in ("dyn", "dyn2"):
+                    on_chunk = None
+                    if logger is not None or progress is not None:
+                        streamed = True
+
+                        def on_chunk(mbs, done, metrics_chunk):
+                            n = metrics_chunk.shape[1]
+                            for bi, m in enumerate(mbs):
+                                if logger is not None:
+                                    logger.log_metrics(
+                                        infiles[members[m]], ch_id,
+                                        metrics_chunk[bi],
+                                        start_iteration=done - n)
+                            if progress is not None:
+                                progress.increment(len(mbs) * n)
+                    solver_fn = (solve_bucket if key[0] == "dyn"
+                                 else solve_bucket_two)
+
+                    def finish(mbs, f_dev):
+                        # crop + color-convert ON DEVICE, fetch compact
+                        # uint8/uint16 pixels on the fetch pool:
+                        # fetching the padded f32 canvases instead
+                        # (~12 B/px vs 3) was the measured warm-serving
+                        # wall-time floor on the remote link
                         for bi, m in enumerate(mbs):
-                            if logger is not None:
-                                logger.log_metrics(
-                                    infiles[members[m]], ch_id,
-                                    metrics_chunk[bi],
-                                    start_iteration=done - n)
-                        if progress is not None:
-                            progress.increment(len(mbs) * n)
-                solver_fn = (solve_bucket if key[0] == "dyn"
-                             else solve_bucket_two)
+                            im = imgs[m]
+                            h, w = im.height, im.width
+                            fd = f_dev[bi]
+                            if C == 1:
+                                pix = gray_packed(
+                                    fd[0, :h, :w] + 128.0, bits)
+                            else:
+                                pix = ycbcr_to_rgb_packed(
+                                    fd[0, :h, :w] + 128.0,
+                                    fd[1, :h, :w], fd[2, :h, :w], bits)
+                            fetch_jobs.append(fetch_pool.submit(
+                                fetch_one, infiles[members[m]], pix))
 
-                def finish(mbs, f_dev):
-                    # crop + color-convert ON DEVICE, fetch compact
-                    # uint8/uint16 pixels: fetching the padded f32
-                    # canvases instead (~12 B/px vs 3) was the measured
-                    # warm-serving wall-time floor on the remote link
-                    for bi, m in enumerate(mbs):
-                        im = imgs[m]
-                        h, w = im.height, im.width
-                        fd = f_dev[bi]
-                        if C == 1:
-                            pix = gray_packed(fd[0, :h, :w] + 128.0,
-                                              bits)
-                        else:
-                            pix = ycbcr_to_rgb_packed(
-                                fd[0, :h, :w] + 128.0, fd[1, :h, :w],
-                                fd[2, :h, :w], bits)
-                        out[infiles[members[m]]] = np.asarray(pix)
-
-                res = solver_fn(
-                    imgs, (key[1], key[2]),
-                    cfg.weights[0], list(cfg.pweights[:C]),
-                    cfg.iterations[0], cfg.simd_compat_logging,
-                    data_parallel=data_parallel, on_chunk=on_chunk,
-                    finish=finish,
-                )
-            else:
-                datas = [[p.data for p in im.planes] for im in imgs]
-                quants = [[p.quant for p in im.planes] for im in imgs]
-                res = solve_batched(
-                    datas, quants, samps,
-                    cfg.weights[0], list(cfg.pweights[:C]),
-                    cfg.iterations[0], cfg.simd_compat_logging,
-                    data_parallel=data_parallel,
-                )
-                if progress is not None:
-                    progress.increment(len(members) * cfg.iterations[0])
-        except (ValueError, OSError) as e:
-            if errors is None:
-                raise
-            for i in members:
-                errors.append(f"{infiles[i]}: {e}")
-            continue
-        for bi, i in enumerate(members):
-            im = images[i]
-            if logger is not None and not streamed:
-                logger.log_metrics(infiles[i], 3 if im.nchannel > 1 else 0,
-                                   res.metrics[bi])
-            if res.fdata is None:
-                continue   # pixels already produced by finish()
-            h, w = im.height, im.width
-            fd = res.fdata[bi]
-            if C == 1:
-                pix = np.asarray(gray_packed(
-                    jnp.asarray(fd[0, :h, :w] + 128.0), bits))
-            else:
-                pix = np.asarray(ycbcr_to_rgb_packed(
-                    jnp.asarray(fd[0, :h, :w] + 128.0),
-                    jnp.asarray(fd[1, :h, :w]),
-                    jnp.asarray(fd[2, :h, :w]), bits))
-            out[infiles[i]] = pix
+                    res = solver_fn(
+                        imgs, (key[1], key[2]),
+                        cfg.weights[0], list(cfg.pweights[:C]),
+                        cfg.iterations[0], cfg.simd_compat_logging,
+                        data_parallel=data_parallel, on_chunk=on_chunk,
+                        finish=finish,
+                    )
+                else:
+                    datas = [[p.data for p in im.planes] for im in imgs]
+                    quants = [[p.quant for p in im.planes]
+                              for im in imgs]
+                    res = solve_batched(
+                        datas, quants, samps,
+                        cfg.weights[0], list(cfg.pweights[:C]),
+                        cfg.iterations[0], cfg.simd_compat_logging,
+                        data_parallel=data_parallel,
+                    )
+                    if progress is not None:
+                        progress.increment(
+                            len(members) * cfg.iterations[0])
+            except (ValueError, OSError) as e:
+                if errors is None:
+                    raise
+                for i in members:
+                    errors.append(f"{infiles[i]}: {e}")
+                continue
+            for bi, i in enumerate(members):
+                im = images[i]
+                if logger is not None and not streamed:
+                    logger.log_metrics(
+                        infiles[i], 3 if im.nchannel > 1 else 0,
+                        res.metrics[bi])
+                if res.fdata is None:
+                    continue   # pixels already produced by finish()
+                h, w = im.height, im.width
+                fd = res.fdata[bi]
+                if C == 1:
+                    pix_dev = gray_packed(
+                        jnp.asarray(fd[0, :h, :w] + 128.0), bits)
+                else:
+                    pix_dev = ycbcr_to_rgb_packed(
+                        jnp.asarray(fd[0, :h, :w] + 128.0),
+                        jnp.asarray(fd[1, :h, :w]),
+                        jnp.asarray(fd[2, :h, :w]), bits)
+                fetch_jobs.append(fetch_pool.submit(
+                    fetch_one, infiles[i], pix_dev))
+        for job in fetch_jobs:
+            job.result()   # surface fetch-thread exceptions
+    if stats is not None:
+        stats["solve_s"] = round(_time.time() - t_solve0, 3)
+        stats["fetch_mb"] = round(fetch_mb[0], 1)
     return out
 
 
@@ -349,59 +416,106 @@ from jpeg2png_tpu.kernels.project_step import FREE_Q as _FREE_Q_F
 _FREE_Q = np.float32(_FREE_Q_F)
 
 
-def _np_initial_canvas(planes, H, W, HB, WB):
-    """Host-side plain decode -> nearest-upsample -> zero-pad to bucket.
+def _stage_image_host(planes, HB, WB):
+    """Host staging for the bucketed serving path: ONLY the int16
+    coefficient rasters (zero-padded to the bucket coef shape) plus the
+    8x8 quant tables and the coef-region extents.
 
-    Mirrors decode_coefficients + aux_init (jpeg.c:83-92,
-    compute.c:296-302) in numpy so the bucket solve needs no per-shape
-    compiled init. Returns [C, HB, WB] float32."""
-    from jpeg2png_tpu.ops.dct import dct_matrix_f64
-
-    d = dct_matrix_f64().astype(np.float32)
-    out = np.zeros((len(planes), HB, WB), np.float32)
-    for c, p in enumerate(planes):
-        x = (p.data.astype(np.float32)
-             * p.quant.astype(np.float32))
-        # IDCT per block: D^T @ x @ D as broadcast BLAS matmuls in f32
-        # (the device solvers start from an f32 decode too; an earlier
-        # f64 einsum form cost ~0.3 s/MP of warm serving time)
-        y = np.matmul(d.T, np.matmul(x, d))
-        nby, nbx = y.shape[:2]
-        raster = np.moveaxis(y, 2, 1).reshape(nby * 8, nbx * 8)
-        ry, rx = raster.shape
-        sy, sx = p.h_samp, p.w_samp
-        # nearest upsample via broadcast (one copy, vs repeat's two)
-        up = np.broadcast_to(
-            raster[:, None, :, None], (ry, sy, rx, sx)
-        ).reshape(ry * sy, rx * sx)
-        # edge-clamped extension to the true canvas (compute.c:298-299)
-        up = np.pad(up, ((0, max(0, H - up.shape[0])),
-                         (0, max(0, W - up.shape[1]))), mode="edge")
-        out[c, :H, :W] = up[:H, :W]
-    return out
-
-
-def _np_bucket_consts(planes, H, W, HB, WB):
-    """Per-channel (data int16 raster, quant f32 raster) at bucket-coef
-    shape: real quant over the channel's region, the FREE sentinel over
-    the region->canvas gap (unconstrained boxes, prob underflows to 0),
-    zero over the bucket padding (frozen lo == hi == 0 boxes)."""
-    datas, q_rs = [], []
+    Everything else — the initial decode, the FREE/FROZEN quant
+    rasters — is built ON DEVICE by _bucket_init.  At 4:2:0 this is
+    ~3 B per bucket pixel over the host->device link, vs the ~21 B/px
+    (f32 canvases + f32 quant rasters) the earlier NumPy-decode staging
+    shipped — the round-4 serving wall (VERDICT round-4 item 1)."""
+    dats, quants, regions = [], [], []
     for p in planes:
         sy, sx = p.h_samp, p.w_samp
         hcb, wcb = HB // sy, WB // sx
-        hct, wct = H // sy, W // sx
         nby, nbx = p.data.shape[:2]
         dat = np.zeros((hcb, wcb), np.int16)
         dat[:nby * 8, :nbx * 8] = np.moveaxis(
             p.data, 2, 1).reshape(nby * 8, nbx * 8)
-        q = np.zeros((hcb, wcb), np.float32)
-        q[:hct, :wct] = _FREE_Q
-        q[:nby * 8, :nbx * 8] = np.tile(
-            p.quant.astype(np.float32), (nby, nbx))
-        datas.append(dat)
-        q_rs.append(q)
-    return datas, q_rs
+        dats.append(dat)
+        quants.append(p.quant.astype(np.float32))
+        regions.append((nby * 8, nbx * 8))
+    return dats, quants, np.asarray(regions, np.int32)
+
+
+@_functools_lru_cache(maxsize=64)
+def _bucket_init(bucket, samps, n_img, n_dp):
+    """Jitted on-device bucket init: initial decode + quant rasters.
+
+    Per image (lax.map over the stacked chunk) and per channel:
+      * dequantize + IDCT the int16 coef raster in f32 (the same
+        block-diagonal MXU matmuls as initial_decode; jpeg.c:83-92),
+      * nearest-upsample with edge clamping to the TRUE canvas extents
+        and zero beyond (aux_init's cy = MIN(y/h_samp, h-1) rule,
+        compute.c:296-302) — extents are traced scalars, so one
+        compilation serves every image in the bucket,
+      * build the FREE/FROZEN quant raster (real quant over the coef
+        region, FREE sentinel over the region->canvas gap, 0 over the
+        bucket padding) from the 8x8 table + region/canvas extents.
+
+    Returns (f0 [B, C, HB, WB] f32, q rasters per channel)."""
+    from jpeg2png_tpu.ops.dct_raster import idct_raster
+
+    HB, WB = bucket
+    C = len(samps)
+
+    def one(t):
+        dats, qts, regions, ext = t
+        f0s, q_rs = [], []
+        for c, (sy, sx) in enumerate(samps):
+            hcb, wcb = HB // sy, WB // sx
+            qt = jnp.tile(qts[c], (hcb // 8, wcb // 8))
+            rr = jax.lax.broadcasted_iota(jnp.int32, (hcb, wcb), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (hcb, wcb), 1)
+            in_data = (rr < regions[c, 0]) & (cc < regions[c, 1])
+            in_canvas = (rr < ext[0] // sy) & (cc < ext[1] // sx)
+            q_rs.append(jnp.where(
+                in_data, qt,
+                jnp.where(in_canvas, _FREE_Q, jnp.float32(0.0))))
+            # dequantize over the whole bucket raster: the padding
+            # coefficients are zero, so dat * tiled-quant is exact
+            raster = idct_raster(dats[c].astype(jnp.float32) * qt)
+            ridx = jnp.minimum(jnp.arange(HB) // sy, regions[c, 0] - 1)
+            cidx = jnp.minimum(jnp.arange(WB) // sx, regions[c, 1] - 1)
+            up = jnp.take(jnp.take(raster, ridx, axis=0),
+                          cidx, axis=1)
+            mask = ((jnp.arange(HB)[:, None] < ext[0])
+                    & (jnp.arange(WB)[None, :] < ext[1]))
+            f0s.append(jnp.where(mask, up, jnp.float32(0.0)))
+        return jnp.stack(f0s), tuple(q_rs)
+
+    def body(t):
+        return jax.lax.map(one, t)
+
+    if n_dp <= 1:
+        return jax.jit(body)
+
+    from jax.sharding import PartitionSpec as P
+
+    from jpeg2png_tpu.parallel.mesh import batch_mesh
+
+    mesh = batch_mesh(n_dp, devices=jax.local_devices()[:n_dp])
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P("batch"), out_specs=P("batch"),
+        check_vma=False))
+
+
+def _upload_chunk(staged, sel, exts, steps, C):
+    """Stack + upload one dispatch chunk's staged host arrays (int16
+    coef rasters, 8x8 quant tables, region/canvas extents, step
+    sizes).  jnp.asarray initiates the transfers asynchronously — the
+    device can still be solving the previous chunk."""
+    dat = [jnp.asarray(np.stack([staged[m][0][c] for m in sel]))
+           for c in range(C)]
+    qt = [jnp.asarray(np.stack([staged[m][1][c] for m in sel]))
+          for c in range(C)]
+    regions = jnp.asarray(np.stack([staged[m][2] for m in sel]))
+    ext = jnp.asarray(np.asarray([exts[m] for m in sel], np.int32))
+    step = jnp.asarray(np.asarray([steps[m] for m in sel],
+                                  np.float32)[:, None])
+    return dat, qt, regions, ext, step
 
 
 def bucket_shape_for(img: JpegImage) -> Tuple[int, int]:
@@ -678,16 +792,13 @@ def solve_bucket_two(
     pa_ss = tuple(pa[c] * sy * sx for c, (sy, sx) in enumerate(samps))
     prob_cs = [c for c in range(C) if pa_ss[c] != 0.0]
 
-    f0s, dats, qs, exts, steps = [], [], [], [], []
+    staged, exts, steps = [], [], []
     for img in images:
         geoms = tuple(ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
                       for p in img.planes)
         H, W = canvas_shape(geoms)
         assert H <= H2 and W <= W2, (H, W, bucket)
-        f0s.append(_np_initial_canvas(img.planes, H, W, H2, W2))
-        dd, qq = _np_bucket_consts(img.planes, H, W, H2, W2)
-        dats.append(dd)
-        qs.append(qq)
+        staged.append(_stage_image_host(img.planes, H2, W2))
         exts.append((H, W))
         steps.append(math.sqrt(float(H) * float(W)) / 2.0
                      / math.sqrt(1.0 + iterations))
@@ -704,52 +815,70 @@ def solve_bucket_two(
             else max(8, min(50, iterations // 20 or iterations)))
 
     if iterations == 0:
-        f0_all = np.stack(f0s)
+        init0 = _bucket_init((H2, W2), tuple(samps), B, 1)
+        f0_all, _ = init0(_upload_chunk(staged, list(range(B)),
+                                        exts, steps, C)[:4])
         if finish is not None:
-            finish(list(range(B)), jnp.asarray(f0_all))
+            finish(list(range(B)), f0_all)
             f0_all = None
+        else:
+            f0_all = np.asarray(f0_all)
         return BatchResult(f0_all, np.zeros((B, 0, 4), np.float32))
 
     fdata_out = (None if finish is not None
                  else np.zeros((B, C, H2, W2), np.float32))
     metrics_out = np.zeros((B, iterations, 4), np.float32)
+    pending = None   # one-deep finalize queue (see solve_bucket)
+
+    def finalize(p):
+        members, f_dev, metric_devs = p
+        done0 = 0
+        for metrics in metric_devs:
+            n = metrics.shape[1]
+            metrics_out[members, done0:done0 + n] = (
+                np.asarray(metrics)[:len(members)])
+            done0 += n
+        if finish is not None:
+            finish(members, f_dev)
+        else:
+            fdata_out[members] = np.asarray(f_dev)[:len(members)]
+
     i = 0
     while i < B:
         members = list(range(i, min(i + n_dp, B)))
         sel = members + [members[0]] * (n_dp - len(members))
-        f = jnp.asarray(np.stack([f0s[m] for m in sel]))
+        dat, qt, regions, ext, step = _upload_chunk(
+            staged, sel, exts, steps, C)
+        init_fn = _bucket_init((H2, W2), tuple(samps), n_dp, n_dp)
+        f, q_dev = init_fn((dat, qt, regions, ext))
         d = jnp.zeros((n_dp, C, H2, W2), jnp.bfloat16)
         dqs = tuple(
             jnp.zeros((n_dp, H2 // samps[c][0], W2 // samps[c][1]),
                       jnp.bfloat16)
             for c in prob_cs)
         prob0 = jnp.zeros((n_dp,), jnp.float32)
-        consts = (
-            [jnp.asarray(np.stack([dats[m][c] for m in sel]))
-             for c in range(C)],
-            [jnp.asarray(np.stack([qs[m][c] for m in sel]))
-             for c in range(C)],
-            jnp.asarray(np.array([exts[m] for m in sel], np.int32)),
-            jnp.asarray(np.array([steps[m] for m in sel],
-                                 np.float32)[:, None]),
-        )
+        consts = (dat, list(q_dev), ext, step)
         done = 0
+        metric_devs = []
         while done < iterations:
             n = min(iter_chunk, iterations - done)
             f, d, dqs, prob0, metrics = stepper(
                 jnp.asarray(factors_np[done:done + n]),
                 (f, d, dqs, prob0) + consts)
-            metrics_out[members, done:done + n] = (
-                np.asarray(metrics)[:len(members)])
+            if on_chunk is None:
+                metric_devs.append(metrics)
+            else:
+                metrics_out[members, done:done + n] = (
+                    np.asarray(metrics)[:len(members)])
             done += n
             if on_chunk is not None:
                 on_chunk(members,
                          done, metrics_out[members, done - n:done])
-        if finish is not None:
-            finish(members, f)
-        else:
-            fdata_out[members] = np.asarray(f)[:len(members)]
+        if pending is not None:
+            finalize(pending)
+        pending = (members, f, metric_devs)
         i += n_dp
+    finalize(pending)
     return BatchResult(fdata_out, metrics_out)
 
 
@@ -806,16 +935,13 @@ def solve_bucket(
     pa_ss = tuple(pa[c] * sy * sx for c, (sy, sx) in enumerate(samps))
     prob_cs = [c for c in range(C) if pa_ss[c] != 0.0]
 
-    f0s, dats, qs, exts, steps = [], [], [], [], []
+    staged, exts, steps = [], [], []
     for img in images:
         geoms = tuple(ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
                       for p in img.planes)
         H, W = canvas_shape(geoms)
         assert H <= HB and W <= WB, (H, W, bucket)
-        f0s.append(_np_initial_canvas(img.planes, H, W, HB, WB))
-        d, q = _np_bucket_consts(img.planes, H, W, HB, WB)
-        dats.append(d)
-        qs.append(q)
+        staged.append(_stage_image_host(img.planes, HB, WB))
         exts.append((H, W))
         # the step size radius/sqrt(1+iters) depends on each image's
         # TRUE canvas (compute.c:425); it rides in as a runtime scalar
@@ -849,60 +975,90 @@ def solve_bucket(
 
     if iterations == 0:
         # degenerate but valid: the initial decode (like solve_joint)
-        f0_all = np.stack(f0s)
+        init0 = _bucket_init((HB, WB), tuple(samps), B, 1)
+        f0_all, _ = init0(_upload_chunk(staged, list(range(B)),
+                                        exts, steps, C)[:4])
         if finish is not None:
-            finish(list(range(B)), jnp.asarray(f0_all))
+            finish(list(range(B)), f0_all)
             f0_all = None
+        else:
+            f0_all = np.asarray(f0_all)
         return BatchResult(f0_all, np.zeros((B, 0, 4), np.float32))
 
     fdata_out = (None if finish is not None
                  else np.zeros((B, C, HB, WB), np.float32))
     metrics_out = np.zeros((B, iterations, 4), np.float32)
     BC = 8 * n_dp
-    i = 0
-    while i < B:
-        n_img = BC if B - i >= BC else n_dp
-        members = list(range(i, min(i + n_img, B)))
-        sel = members + [members[0]] * (n_img - len(members))
-        f = jnp.asarray(np.stack([f0s[m] for m in sel]))
-        fi = f
-        dqs = tuple(
-            jnp.zeros((n_img, HB // samps[c][0], WB // samps[c][1]),
-                      jnp.float32)
-            for c in prob_cs)
-        consts = (
-            [jnp.asarray(np.stack([dats[m][c] for m in sel]))
-             for c in range(C)],
-            [jnp.asarray(np.stack([qs[m][c] for m in sel]))
-             for c in range(C)],
-            jnp.asarray(np.array([exts[m] for m in sel], np.int32)),
-            jnp.asarray(np.array([steps[m] for m in sel],
-                                 np.float32)[:, None]),
-        )
-        done = 0
+
+    # one-deep finalize queue: chunk k's results are fetched AFTER
+    # chunk k+1's uploads and solve are dispatched, so the (slow)
+    # device->host pixel/canvas transfers overlap the next chunk's
+    # device work instead of serializing with it
+    pending = None
+
+    def finalize(p):
+        members, f_dev, partial_devs = p
         prob_prev = np.zeros((len(members),), np.float32)
-        while done < iterations:
-            n = min(iter_chunk, iterations - done)
-            f, fi, dqs, partials = stepper(
-                jnp.asarray(factors_np[done:done + n]),
-                (f, fi, dqs) + consts)
+        done0 = 0
+        for partials in partial_devs:
             partials_np = np.asarray(partials)[:len(members)]
+            n = partials_np.shape[1]
             for bi, m in enumerate(members):
                 # same metrics assembly as the solver's fused path
                 # (fresh start: prob row 0 is exactly 0,
                 # compute.c:279-286; chunk boundaries carry the
                 # one-row prob shift through prob_prev)
-                metrics_out[m, done:done + n], prob_prev[bi] = (
+                metrics_out[m, done0:done0 + n], prob_prev[bi] = (
                     mega_metrics(
                         partials_np[bi], prob_prev[bi], pa, total_alpha,
                         simd_compat_logging, xp=np))
+            done0 += n
+        if finish is not None:
+            finish(members, f_dev)
+        else:
+            fdata_out[members] = np.asarray(f_dev)[:len(members)]
+
+    i = 0
+    while i < B:
+        n_img = BC if B - i >= BC else n_dp
+        members = list(range(i, min(i + n_img, B)))
+        sel = members + [members[0]] * (n_img - len(members))
+        dat, qt, regions, ext, step = _upload_chunk(
+            staged, sel, exts, steps, C)
+        init_fn = _bucket_init((HB, WB), tuple(samps), n_img, n_dp)
+        f, q_dev = init_fn((dat, qt, regions, ext))
+        fi = f
+        dqs = tuple(
+            jnp.zeros((n_img, HB // samps[c][0], WB // samps[c][1]),
+                      jnp.float32)
+            for c in prob_cs)
+        consts = (dat, list(q_dev), ext, step)
+        done = 0
+        prob_prev = np.zeros((len(members),), np.float32)
+        partial_devs = []
+        while done < iterations:
+            n = min(iter_chunk, iterations - done)
+            f, fi, dqs, partials = stepper(
+                jnp.asarray(factors_np[done:done + n]),
+                (f, fi, dqs) + consts)
+            if on_chunk is None:
+                # deferred fetch: stash the device partials for
+                # finalize (one dispatch per chunk, nothing blocks)
+                partial_devs.append(partials)
+            else:
+                partials_np = np.asarray(partials)[:len(members)]
+                for bi, m in enumerate(members):
+                    metrics_out[m, done:done + n], prob_prev[bi] = (
+                        mega_metrics(
+                            partials_np[bi], prob_prev[bi], pa,
+                            total_alpha, simd_compat_logging, xp=np))
             done += n
             if on_chunk is not None:
                 on_chunk(members,
                          done, metrics_out[members, done - n:done])
-        if finish is not None:
-            finish(members, f)
-        else:
-            fdata_out[members] = np.asarray(f)[:len(members)]
+        if pending is not None:
+            finalize(pending)
+        pending = (members, f, partial_devs)
         i += n_img
+    finalize(pending)
     return BatchResult(fdata_out, metrics_out)

