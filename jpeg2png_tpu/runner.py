@@ -285,24 +285,39 @@ def decode_files_batched(
     out: Dict[str, np.ndarray] = {}
     out_lock = threading.Lock()
     fetch_mb = [0.0]
+    fetch_thread_s = [0.0]
+    _upload_init_s[0] = 0.0
     t_solve0 = _time.time()
 
-    # pixel fetches run on a small thread pool: the device->host link
-    # moves ~25 MB/s on one stream but ~40 MB/s on 3-4 (measured
-    # through the remote tunnel), and the fetches then overlap the
-    # next bucket's device work and the caller's on_pixels consumer
+    # The wire is phased: the solve loop only UPLOADS and dispatches
+    # (collecting each image's packed pixels as a device array), and
+    # every pixel fetch happens after the last dispatch.  Running the
+    # two directions concurrently collapses the remote tunnel to
+    # ~16 MB/s down (measured: 348 MB of pixels took ~35 thread-
+    # seconds against uploads vs ~23 MB/s/stream clean); phase
+    # separation lets uploads ride at ~125 MB/s and the pooled fetch
+    # at ~35 MB/s.  Pixels wait on device as dense flat uint32
+    # (_pack_pixels): tiled [h, w, 3] uint8 fetches ~30% slower and
+    # pads heavily in device memory.
+    pending_pixels: List[Tuple[str, object, tuple, object]] = []
+
     with concurrent.futures.ThreadPoolExecutor(4) as fetch_pool:
         fetch_jobs = []
 
-        def fetch_one(infile, pix_dev):
-            pix = np.asarray(pix_dev)
+        def fetch_one(infile, packed_dev, shape, dtype):
+            t0 = _time.time()
+            u32 = np.asarray(packed_dev)
+            dt = _time.time() - t0
+            pix = _unpack_pixels(u32, shape, dtype)
             if on_pixels is not None:
                 with out_lock:
-                    fetch_mb[0] += pix.nbytes / 1e6
+                    fetch_mb[0] += u32.nbytes / 1e6
+                    fetch_thread_s[0] += dt
                 on_pixels(infile, pix)
             else:
                 with out_lock:
-                    fetch_mb[0] += pix.nbytes / 1e6
+                    fetch_mb[0] += u32.nbytes / 1e6
+                    fetch_thread_s[0] += dt
                     out[infile] = pix
 
         for key, members in buckets.items():
@@ -331,11 +346,12 @@ def decode_files_batched(
                                  else solve_bucket_two)
 
                     def finish(mbs, f_dev):
-                        # crop + color-convert ON DEVICE, fetch compact
-                        # uint8/uint16 pixels on the fetch pool:
-                        # fetching the padded f32 canvases instead
-                        # (~12 B/px vs 3) was the measured warm-serving
-                        # wall-time floor on the remote link
+                        # crop + color-convert ON DEVICE and park the
+                        # packed pixels there (compact uint32, 3 B/px
+                        # of payload vs the ~12 B/px padded f32
+                        # canvases — the round-4 warm-serving floor);
+                        # the fetch itself is deferred past the last
+                        # dispatch (wire phasing, see above)
                         for bi, m in enumerate(mbs):
                             im = imgs[m]
                             h, w = im.height, im.width
@@ -347,8 +363,9 @@ def decode_files_batched(
                                 pix = ycbcr_to_rgb_packed(
                                     fd[0, :h, :w] + 128.0,
                                     fd[1, :h, :w], fd[2, :h, :w], bits)
-                            fetch_jobs.append(fetch_pool.submit(
-                                fetch_one, infiles[members[m]], pix))
+                            pending_pixels.append(
+                                (infiles[members[m]], _pack_pixels(pix),
+                                 pix.shape, pix.dtype))
 
                     res = solver_fn(
                         imgs, (key[1], key[2]),
@@ -383,7 +400,7 @@ def decode_files_batched(
                         infiles[i], 3 if im.nchannel > 1 else 0,
                         res.metrics[bi])
                 if res.fdata is None:
-                    continue   # pixels already produced by finish()
+                    continue   # pixels already parked by finish()
                 h, w = im.height, im.width
                 fd = res.fdata[bi]
                 if C == 1:
@@ -394,13 +411,24 @@ def decode_files_batched(
                         jnp.asarray(fd[0, :h, :w] + 128.0),
                         jnp.asarray(fd[1, :h, :w]),
                         jnp.asarray(fd[2, :h, :w]), bits)
-                fetch_jobs.append(fetch_pool.submit(
-                    fetch_one, infiles[i], pix_dev))
+                pending_pixels.append(
+                    (infiles[i], _pack_pixels(pix_dev),
+                     pix_dev.shape, pix_dev.dtype))
+        # wire phase 2: every upload/dispatch is in; drain the packed
+        # pixels through the pooled device->host fetch
+        for infile, packed, shape, dtype in pending_pixels:
+            fetch_jobs.append(fetch_pool.submit(
+                fetch_one, infile, packed, shape, dtype))
         for job in fetch_jobs:
             job.result()   # surface fetch-thread exceptions
     if stats is not None:
         stats["solve_s"] = round(_time.time() - t_solve0, 3)
         stats["fetch_mb"] = round(fetch_mb[0], 1)
+        # cumulative seconds inside np.asarray across the 4 fetch
+        # threads (divide by ~4 for the wall share) and main-thread
+        # upload-initiation seconds — the two link-side costs
+        stats["fetch_thread_s"] = round(fetch_thread_s[0], 3)
+        stats["upload_init_s"] = round(_upload_init_s[0], 3)
     return out
 
 
@@ -502,11 +530,44 @@ def _bucket_init(bucket, samps, n_img, n_dp):
         check_vma=False))
 
 
+def _pack_pixels(pix):
+    """Packed uint8/uint16 pixels -> flat dense uint32 device array.
+
+    Two reasons, both measured through the remote tunnel: a tiled
+    [h, w, 3] uint8 array fetches ~30% slower than the same bytes as a
+    dense wide uint32 vector, and its minor-dim-3 device layout pads
+    heavily while parked waiting for the phased fetch.  Unpack with
+    _unpack_pixels (both ends little-endian)."""
+    per = 4 if pix.dtype == jnp.uint8 else 2
+    flat = pix.reshape(-1)
+    pad = (-flat.shape[0]) % per
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return jax.lax.bitcast_convert_type(
+        flat.reshape(-1, per), jnp.uint32)
+
+
+def _unpack_pixels(u32_np, shape, dtype):
+    """Host-side inverse of _pack_pixels."""
+    n = int(np.prod(shape))
+    return u32_np.view(np.dtype(dtype))[:n].reshape(shape)
+
+
+# observability: main-thread seconds spent initiating chunk uploads
+# (host staging copies; the wire transfer itself is async).  Reset and
+# read by decode_files_batched around its bucket loop — module-level so
+# solve_bucket/solve_bucket_two need no stats plumbing in their API.
+_upload_init_s = [0.0]
+
+
 def _upload_chunk(staged, sel, exts, steps, C):
     """Stack + upload one dispatch chunk's staged host arrays (int16
     coef rasters, 8x8 quant tables, region/canvas extents, step
     sizes).  jnp.asarray initiates the transfers asynchronously — the
     device can still be solving the previous chunk."""
+    import time as _time
+
+    t0 = _time.time()
     dat = [jnp.asarray(np.stack([staged[m][0][c] for m in sel]))
            for c in range(C)]
     qt = [jnp.asarray(np.stack([staged[m][1][c] for m in sel]))
@@ -515,6 +576,7 @@ def _upload_chunk(staged, sel, exts, steps, C):
     ext = jnp.asarray(np.asarray([exts[m] for m in sel], np.int32))
     step = jnp.asarray(np.asarray([steps[m] for m in sel],
                                   np.float32)[:, None])
+    _upload_init_s[0] += _time.time() - t0
     return dat, qt, regions, ext, step
 
 

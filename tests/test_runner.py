@@ -507,3 +507,21 @@ def test_two_lite_bucket_routing(monkeypatch):
     ba = two_lite_bucket_for(a, (0.001,) * 3)
     bb = two_lite_bucket_for(b, (0.001,) * 3)
     assert ba is not None and ba == bb, (ba, bb)
+
+
+def test_pixel_pack_roundtrip():
+    """Packed-uint32 pixel fetches (dense layout for the phased
+    device->host wire) round-trip exactly for every output dtype/shape
+    class the runner produces."""
+    import jax.numpy as jnp
+
+    from jpeg2png_tpu.runner import _pack_pixels, _unpack_pixels
+
+    rng = np.random.default_rng(5)
+    for shape, dt in [((33, 47, 3), np.uint8), ((64, 64), np.uint8),
+                      ((21, 17, 3), np.uint16), ((52, 100), np.uint16)]:
+        x = (rng.random(shape) * 250).astype(dt)
+        p = _pack_pixels(jnp.asarray(x))
+        y = _unpack_pixels(np.asarray(p), shape, x.dtype)
+        assert y.dtype == x.dtype
+        np.testing.assert_array_equal(x, y)
